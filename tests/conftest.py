@@ -1,0 +1,50 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding/collective tests use
+XLA's host-platform device-count override (SURVEY.md §4.3). These env vars
+must be set before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+from pathlib import Path
+
+# Make the repo root importable without an editable install.
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng() -> np.random.Generator:
+    return np.random.default_rng(20260817)
+
+
+@pytest.fixture
+def synthetic_rows() -> np.ndarray:
+    """Deterministic 4x8 uint8 test matrix.
+
+    Same coverage intent as the reference's test fixture
+    (``output_test_common.py:12-25``): a ramp, an inverted ramp, an
+    alternating row, and a saturation-prone row with hard edges.
+    """
+    return np.array(
+        [
+            [0, 32, 64, 96, 128, 160, 192, 224],
+            [224, 192, 160, 128, 96, 64, 32, 0],
+            [0, 255, 0, 255, 0, 255, 0, 255],
+            [255, 200, 255, 0, 0, 0, 25, 75],
+        ],
+        dtype=np.uint8,
+    )
