@@ -1,0 +1,11 @@
+"""Hand-written Pallas TPU kernels (the native fast path).
+
+TPU-native successor of the reference's C++ model layer (SURVEY.md §2.2):
+where the reference pairs a Python truth model with a C++ performance
+model, this package pairs the numpy golden oracle with Pallas kernels that
+are bit-checked against it.
+"""
+
+from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
+
+__all__ = ["fir1d_fixed_rows_pallas"]
