@@ -7,12 +7,21 @@ must be set before the first ``import jax`` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment preselects an accelerator platform
+# (the axon PJRT plugin overrides the JAX_PLATFORMS env var, so the config
+# knob must be set too): unit tests must be hermetic and multi-device.
+# Set WFT_TEST_PLATFORM=tpu to run the suite on real hardware instead.
+_platform = os.environ.get("WFT_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", _platform)
 
 import sys
 from pathlib import Path

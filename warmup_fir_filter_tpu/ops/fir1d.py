@@ -65,6 +65,52 @@ def fir1d_ideal_rows_jnp(x_u8, h) -> jax.Array:
     return _ideal_core(x_f32, jnp.asarray(h64, dtype=jnp.float32), int(h64.size))
 
 
+def fixed_epilogue_i32(acc: jnp.ndarray, frac_bits: int,
+                       acc_bits: int) -> jnp.ndarray:
+    """Wraparound → bias-round-shift → saturate, all int32-exact.
+
+    The shared hardware epilogue of the golden contract
+    (``fir_1d_fixed_ref.py:94,110-128``), reused by the jnp path, the
+    Pallas kernel, and the sharded path.
+    """
+    # Accumulator wraparound to acc_bits (+ sign extension) expressed as
+    # an arithmetic shift pair.
+    if acc_bits < 32:
+        s = 32 - acc_bits
+        acc = (acc << s) >> s
+
+    # Bias round + rescale, overflow-free decomposition.
+    low = acc & ((1 << frac_bits) - 1)
+    carry = (low + (1 << (frac_bits - 1))) >> frac_bits
+    final = (acc >> frac_bits) + carry
+
+    return jnp.clip(final, 0, 255).astype(jnp.uint8)
+
+
+def fixed_fir_prehaloed_i32(
+    x_ext_i32: jnp.ndarray,
+    h_fixed_i32: jnp.ndarray,
+    num_taps: int,
+    frac_bits: int,
+    acc_bits: int,
+) -> jnp.ndarray:
+    """Fixed FIR over rows whose halo columns are already attached.
+
+    ``x_ext`` has width N + L - 1: ``L-1-center`` left halo columns and
+    ``center`` right halo columns around the N-sample core (zeros at
+    stream edges).  This is the building block shared by the single-chip
+    padded path and the multi-chip halo-exchange path, so shard
+    boundaries are bit-identical to the zero-padded global computation.
+    """
+    n = x_ext_i32.shape[1] - (num_taps - 1)
+    acc = jnp.zeros(x_ext_i32.shape[:1] + (n,), jnp.int32)
+    for k in range(num_taps):
+        start = num_taps - 1 - k
+        window = jax.lax.dynamic_slice_in_dim(x_ext_i32, start, n, 1)
+        acc = acc + h_fixed_i32[k] * window  # int32 MAC, wraps mod 2^32
+    return fixed_epilogue_i32(acc, frac_bits, acc_bits)
+
+
 @partial(jax.jit, static_argnames=("num_taps", "frac_bits", "acc_bits"))
 def _fixed_core(
     x_i32: jnp.ndarray,
@@ -73,27 +119,9 @@ def _fixed_core(
     frac_bits: int,
     acc_bits: int,
 ):
-    n = x_i32.shape[1]
     xp = pad_rows_same_mode(x_i32, num_taps)
-    acc = jnp.zeros_like(x_i32)
-    for k in range(num_taps):
-        start = num_taps - 1 - k
-        window = jax.lax.dynamic_slice_in_dim(xp, start, n, 1)
-        acc = acc + h_fixed_i32[k] * window  # int32 MAC, wraps mod 2^32
-
-    # Accumulator wraparound to acc_bits (+ sign extension):
-    # fir_1d_fixed_ref.py:94,110-115 expressed as an arithmetic shift pair.
-    if acc_bits < 32:
-        s = 32 - acc_bits
-        acc = (acc << s) >> s
-
-    # Bias round + rescale (fir_1d_fixed_ref.py:118-120), overflow-free:
-    low = acc & ((1 << frac_bits) - 1)
-    carry = (low + (1 << (frac_bits - 1))) >> frac_bits
-    final = (acc >> frac_bits) + carry
-
-    # Saturate to [0, 255] (fir_1d_fixed_ref.py:123-128).
-    return jnp.clip(final, 0, 255).astype(jnp.uint8)
+    return fixed_fir_prehaloed_i32(xp, h_fixed_i32, num_taps, frac_bits,
+                                   acc_bits)
 
 
 def fir1d_fixed_rows_jnp(

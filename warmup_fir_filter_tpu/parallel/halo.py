@@ -1,0 +1,121 @@
+"""Overlap-save halo exchange: sequence-parallel FIR over a device mesh.
+
+The convolution analogue of ring attention (SURVEY.md §2.3): a long
+stream is sharded along time across mesh devices; each shard exchanges
+``L-1`` boundary samples with its neighbors over ICI via
+``jax.lax.ppermute`` and then runs the *same* pre-haloed fixed-point core
+as the single-chip path, so shard boundaries are bit-identical to the
+global zero-padded computation.
+
+Halo asymmetry follows same-mode center alignment (``center = L // 2``,
+``fir_1d_ref.py:49-60``): each shard needs ``L-1-center`` trailing
+samples from its left neighbor and ``center`` leading samples from its
+right neighbor.  Edge shards receive zeros — exactly ``ppermute``'s
+semantics for unmatched destinations, which realizes the global zero-pad
+boundary (SURVEY.md §7.3 item 3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from warmup_fir_filter_tpu.ops.fir1d import fixed_fir_prehaloed_i32
+from warmup_fir_filter_tpu.ops.qformat import QFormat
+
+
+def exchange_halo_1d(
+    x_local: jnp.ndarray,
+    *,
+    axis_name: str,
+    left_width: int,
+    right_width: int,
+) -> jnp.ndarray:
+    """Attach neighbor halos along the last axis of a sharded block.
+
+    Must be called inside ``shard_map``.  Returns the local block extended
+    to ``N_local + left_width + right_width`` columns; out-of-mesh halos
+    are zero (global zero-pad semantics).
+    """
+    num = jax.lax.axis_size(axis_name)
+    parts = []
+    if left_width:
+        tail = x_local[..., -left_width:]
+        # Device i sends its tail to device i+1; device 0 receives zeros.
+        left = jax.lax.ppermute(
+            tail, axis_name, [(i, i + 1) for i in range(num - 1)]
+        )
+        parts.append(left)
+    parts.append(x_local)
+    if right_width:
+        head = x_local[..., :right_width]
+        # Device i sends its head to device i-1; last device receives zeros.
+        right = jax.lax.ppermute(
+            head, axis_name, [(i, i - 1) for i in range(1, num)]
+        )
+        parts.append(right)
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x_local
+
+
+def fir1d_fixed_sharded(
+    x_u8,
+    h,
+    qformat: QFormat = QFormat(),
+    *,
+    mesh: Mesh,
+    channel_axis: str = "data",
+    time_axis: str = "time",
+) -> jax.Array:
+    """Bit-exact fixed-point FIR over (C, T), sharded C×T across a mesh.
+
+    - channels (C) shard over ``channel_axis``: pure data parallelism
+      (independent rows — the reference's independent-case structure,
+      ``gen_fixed_output.py:88-105``);
+    - time (T) shards over ``time_axis``: sequence parallelism with
+      ppermute halo exchange.
+
+    Requires C and T divisible by the respective mesh axis sizes (pad at
+    the caller for ragged streams).
+    """
+    if not qformat.tpu_native:
+        raise ValueError(
+            f"acc_bits={qformat.acc_bits} > 32 is not representable in the "
+            "int32 TPU sim path."
+        )
+    h_fixed = qformat.quantize_coeffs(h).astype(np.int32)
+    num_taps = int(h_fixed.size)
+    center = num_taps // 2
+    left_w, right_w = num_taps - 1 - center, center
+
+    x = jnp.asarray(x_u8, dtype=jnp.int32)
+    channels, time = x.shape
+    for size, axis in ((channels, channel_axis), (time, time_axis)):
+        if size % mesh.shape[axis]:
+            raise ValueError(
+                f"Dimension {size} not divisible by mesh axis "
+                f"{axis!r}={mesh.shape[axis]}."
+            )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(channel_axis, time_axis), P()),
+        out_specs=P(channel_axis, time_axis),
+    )
+    def _step(x_loc, h_i32):
+        x_ext = exchange_halo_1d(
+            x_loc, axis_name=time_axis, left_width=left_w, right_width=right_w
+        )
+        return fixed_fir_prehaloed_i32(
+            x_ext, h_i32, num_taps, qformat.frac_bits, qformat.acc_bits
+        )
+
+    x_sharded = jax.device_put(
+        x, NamedSharding(mesh, P(channel_axis, time_axis))
+    )
+    return jax.jit(_step)(x_sharded, jnp.asarray(h_fixed))
