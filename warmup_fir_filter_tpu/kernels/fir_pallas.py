@@ -41,11 +41,22 @@ from jax.experimental.pallas import tpu as pltpu
 from warmup_fir_filter_tpu.ops.qformat import QFormat
 
 LANE = 128
-DEFAULT_BLOCK_ROWS = 128
+#: Scoped VMEM budget per program: leave headroom under the ~16 MB/core
+#: scoped limit for Mosaic temporaries (the widened int32 copy + acc).
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+#: Empirical per-sample VMEM footprint: u8 in ×2 (double buffer) + widened
+#: int32 + int32 acc + u8 out ×2 + slack ≈ 18 bytes/sample.
+_BYTES_PER_SAMPLE = 18
 
 
 def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
+
+
+def _auto_block_rows(width: int) -> int:
+    rows = VMEM_BUDGET_BYTES // (_BYTES_PER_SAMPLE * max(width, LANE))
+    rows = (rows // 8) * 8
+    return int(max(8, min(512, rows)))
 
 
 def _fir_fixed_kernel(
@@ -58,11 +69,12 @@ def _fir_fixed_kernel(
     acc_bits: int,
     out_width: int,
 ):
+    x32 = x_ref[:].astype(jnp.int32)  # widen once; slices below are views
     acc = jnp.zeros(o_ref.shape, jnp.int32)
     for k in range(num_taps):
         # y[n] = Σ_k h[k] * xp[n + (L-1) - k]  (same-mode, zero-padded).
         start = num_taps - 1 - k
-        window = x_ref[:, start : start + out_width].astype(jnp.int32)
+        window = x32[:, start : start + out_width]
         acc = acc + h_ref[0, k] * window  # int32 MAC, wraps mod 2^32
 
     if acc_bits < 32:
@@ -115,6 +127,9 @@ def _fir_fixed_pallas_padded(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, w_out), jnp.uint8),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
     )(h_i32, x_pad)
 
 
@@ -128,7 +143,7 @@ def fir1d_fixed_rows_pallas(
     h,
     qformat: QFormat = QFormat(),
     *,
-    block_rows: int = DEFAULT_BLOCK_ROWS,
+    block_rows: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Bit-exact fixed-point FIR over (B, N) uint8 rows via Pallas.
@@ -147,8 +162,10 @@ def fir1d_fixed_rows_pallas(
 
     x_u8 = jnp.asarray(x_u8, dtype=jnp.uint8)
     batch, n = x_u8.shape
-    b_pad = _round_up(max(batch, 1), block_rows)
     n_pad = _round_up(max(n, 1), LANE)
+    if block_rows is None:
+        block_rows = _auto_block_rows(n_pad)
+    b_pad = _round_up(max(batch, 1), block_rows)
     # Left halo (L-1-center) + right halo (center) + alignment padding.
     x_padded = jnp.pad(
         x_u8,
