@@ -30,6 +30,8 @@ if _REPO_ROOT not in sys.path:
 
 import numpy as np
 
+from warmup_fir_filter_tpu.utils.benchmarking import chained_throughput
+
 # TPU v5e HBM bandwidth (GB/s); the FIR moves 2 bytes/sample (u8 in+out).
 HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0}
 DEFAULT_HBM_GBPS = 819.0
@@ -40,41 +42,6 @@ BYTES_PER_SAMPLE = 2.0
 REFERENCE_MSPS_FALLBACK = 0.57
 
 BATCH, WIDTH = 19456, 8192  # ~159.4 Msamples, ≈160 MB in + 160 MB out
-#: Chain lengths for fixed-overhead cancellation: the remote-execution
-#: tunnel adds ~30 ms of dispatch latency per synchronized call, so the
-#: kernel is applied K times back-to-back inside one jitted fori_loop and
-#: the per-application time is the slope between two chain lengths.
-CHAIN_SHORT, CHAIN_LONG = 4, 36
-TIMED_ITERS = 5
-
-
-def _measure_chained(step_fn, x_dev) -> float:
-    """Per-application seconds of ``step_fn`` (u8→u8, same shape).
-
-    Times jit(fori_loop(K, step))(x) for two K values and returns the
-    slope, cancelling fixed dispatch/transfer overhead.
-    """
-    import jax
-    from jax import lax
-
-    def chained(k):
-        @jax.jit
-        def run(x):
-            return lax.fori_loop(0, k, lambda i, y: step_fn(y), x)
-
-        return run
-
-    times = {}
-    for k in (CHAIN_SHORT, CHAIN_LONG):
-        fn = chained(k)
-        fn(x_dev).block_until_ready()  # compile + warm
-        best = float("inf")
-        for _ in range(TIMED_ITERS):
-            t0 = time.perf_counter()
-            fn(x_dev).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    return (times[CHAIN_LONG] - times[CHAIN_SHORT]) / (CHAIN_LONG - CHAIN_SHORT)
 
 
 def _reference_msps(h) -> float:
@@ -101,6 +68,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
     from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
     from warmup_fir_filter_tpu.models.filters import FILTER_BANK_5TAP
     from warmup_fir_filter_tpu.models.golden import fir1d_fixed_golden_rows
@@ -118,13 +86,14 @@ def main() -> int:
 
     backends = {}
     for name, fn in (
+        ("mxu", lambda a: fir1d_fixed_rows_mxu(a, h)),
         ("pallas", lambda a: fir1d_fixed_rows_pallas(a, h)),
         ("jnp", lambda a: fir1d_fixed_rows_jnp(a, h)),
     ):
         try:
             if not np.array_equal(np.asarray(fn(jnp.asarray(check))), golden):
                 continue  # not bit-exact → disqualified
-            backends[name] = _measure_chained(fn, x_dev)
+            backends[name] = chained_throughput(fn, x_dev)["seconds_per_apply"]
         except Exception as exc:  # noqa: BLE001 — a backend may be absent
             print(f"# backend {name} failed: {exc}", file=sys.stderr)
 

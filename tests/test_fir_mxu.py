@@ -1,0 +1,102 @@
+"""MXU band-matrix FIR kernel: construction + bit-equality tests.
+
+The matrix-construction logic is pure numpy (tested exhaustively here);
+kernel-vs-golden bit-equality runs in interpret mode on CPU and compiled
+on TPU via bench.py / WFT_TEST_PLATFORM=tpu.
+"""
+
+import numpy as np
+import pytest
+
+from warmup_fir_filter_tpu.kernels.fir_mxu import (
+    LANE,
+    build_band_matrices,
+    fir1d_fixed_rows_mxu,
+    signed_base256_digits,
+)
+from warmup_fir_filter_tpu.models.filters import FILTER_BANKS
+from warmup_fir_filter_tpu.models.golden import fir1d_fixed_golden_rows
+from warmup_fir_filter_tpu.ops.qformat import QFormat
+
+
+class TestSignedDigits:
+    @pytest.mark.parametrize(
+        "values", [[0], [1], [-1], [127], [-128], [128], [255], [256],
+                   [32767], [-32768], [6656], [2**31 - 1], [-(2**31)]]
+    )
+    def test_roundtrip(self, values):
+        digits = signed_base256_digits(np.array(values))
+        assert digits.dtype == np.int8
+        recon = sum(
+            (256**b) * digits[b].astype(object) for b in range(len(digits))
+        )
+        assert list(recon) == values
+
+    def test_random_roundtrip(self, rng):
+        values = rng.integers(-(2**31), 2**31, size=100)
+        digits = signed_base256_digits(values)
+        recon = np.zeros(100, dtype=np.int64)
+        for b in range(digits.shape[0]):
+            recon += (256**b) * digits[b].astype(np.int64)
+        np.testing.assert_array_equal(recon, values)
+
+
+class TestBandMatrices:
+    def test_band_reconstructs_convolution(self, rng):
+        # [X_t | X_{t+1}] @ stacked must equal the direct tile conv.
+        h_fixed = rng.integers(-30000, 30000, size=5)
+        stacked, exps = build_band_matrices(h_fixed)
+        num_taps = 5
+        x_ext = rng.integers(-128, 128, size=(4, 2 * LANE)).astype(np.int64)
+        full = sum(
+            (256**b) * (x_ext @ np.vstack(
+                [stacked[p][:LANE], stacked[p][LANE:]]
+            ).astype(np.int64))
+            for p, b in enumerate(exps)
+        )
+        direct = np.zeros((4, LANE), np.int64)
+        for i in range(LANE):
+            for k in range(num_taps):
+                direct[:, i] += h_fixed[k] * x_ext[:, i + num_taps - 1 - k]
+        np.testing.assert_array_equal(full, direct)
+
+    def test_zero_digit_planes_dropped(self):
+        # Q4.12 bank coefficients are multiples of 256 → one kept plane.
+        qf = QFormat()
+        h_fixed = qf.quantize_coeffs(FILTER_BANKS[5]["sharpen"])
+        stacked, exps = build_band_matrices(h_fixed)
+        assert exps == (1,)
+        assert stacked.shape == (1, 2 * LANE, LANE)
+
+    def test_too_many_taps_rejected(self):
+        with pytest.raises(ValueError, match="supports up to"):
+            build_band_matrices(np.ones(200, np.int64))
+
+
+@pytest.mark.parametrize("tap", [3, 5])
+def test_mxu_bit_exact_filter_bank(rng, tap):
+    h = np.asarray(FILTER_BANKS[tap]["sharpen"])
+    x = rng.integers(0, 256, size=(6, 300), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(fir1d_fixed_rows_mxu(x, h, block_rows=8, col_tiles=2)),
+        fir1d_fixed_golden_rows(x, h),
+    )
+
+
+def test_mxu_bit_exact_wraparound(rng):
+    qf = QFormat(acc_bits=16)
+    h = np.array([qf.max_coeff_real, -8.0, 7.5])
+    x = rng.integers(0, 256, size=(4, 256), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(fir1d_fixed_rows_mxu(x, h, qf, block_rows=8, col_tiles=2)),
+        fir1d_fixed_golden_rows(x, h, qf),
+    )
+
+
+def test_mxu_wide_filter_63tap(rng):
+    h = rng.uniform(-0.5, 0.5, 63)
+    x = rng.integers(0, 256, size=(3, 400), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(fir1d_fixed_rows_mxu(x, h, block_rows=8, col_tiles=2)),
+        fir1d_fixed_golden_rows(x, h),
+    )

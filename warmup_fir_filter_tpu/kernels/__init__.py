@@ -7,5 +7,6 @@ are bit-checked against it.
 """
 
 from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
+from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
 
-__all__ = ["fir1d_fixed_rows_pallas"]
+__all__ = ["fir1d_fixed_rows_pallas", "fir1d_fixed_rows_mxu"]

@@ -38,7 +38,7 @@ from warmup_fir_filter_tpu.pipeline.artifacts import (
 from warmup_fir_filter_tpu.utils import imageio
 from warmup_fir_filter_tpu.utils.logging import timed_entry_point
 
-FIXED_BACKENDS = ("tpu", "pallas", "golden")
+FIXED_BACKENDS = ("tpu", "pallas", "mxu", "golden")
 
 
 def _preview_payload(gray_u8: np.ndarray, *, max_rows: int = 8,
@@ -166,6 +166,10 @@ def _fixed_compute(backend: str, x_u8: np.ndarray, h: np.ndarray,
         from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
 
         return np.asarray(fir1d_fixed_rows_pallas(x_u8, h, qformat))
+    if backend == "mxu":
+        from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
+
+        return np.asarray(fir1d_fixed_rows_mxu(x_u8, h, qformat))
     raise ValueError(f"Unknown fixed backend={backend!r}; expected {FIXED_BACKENDS}")
 
 

@@ -1,0 +1,82 @@
+"""Honest TPU timing under a remote-execution tunnel.
+
+Two measurement hazards exist in this environment (both observed, see
+bench.py history):
+
+1. **Fixed dispatch latency** (~30 ms per synchronized call through the
+   tunnel) — cancelled by timing a K-times chained application inside one
+   ``lax.fori_loop`` jit and taking the slope between two chain lengths.
+2. **Value-level result caching** — repeated executions with identical
+   inputs can return without re-running on device.  Defeated by XOR-ing a
+   fresh per-call seed into the input inside the jitted function (one
+   elementwise pass, amortized across the K chained applications).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def chained_throughput(
+    step_fn,
+    x_dev,
+    *,
+    chain_short: int = 4,
+    chain_long: int = 36,
+    repeats: int = 5,
+) -> dict:
+    """Samples/s of a shape-preserving uint8 step function.
+
+    Args:
+        step_fn: u8 array → u8 array of the same shape (applied K times
+            back-to-back on device).
+        x_dev: device-resident uint8 input.
+
+    Returns:
+        dict with per-application seconds, samples/s, and raw timings.
+    """
+
+    import numpy as np
+
+    def make(k):
+        @jax.jit
+        def run(x0, seed_u8):
+            x0 = x0 ^ seed_u8  # defeat value-level result caching
+            y = lax.fori_loop(0, k, lambda i, y: step_fn(y), x0)
+            # Return a tiny probe slice: downloading it forces the whole
+            # chain to execute (block_until_ready does NOT synchronize
+            # through the async tunnel — only host transfers do).
+            return y[:1, :128]
+
+        return run
+
+    times: dict[int, float] = {}
+    seed_counter = 0
+    for k in (chain_short, chain_long):
+        run = make(k)
+        np.asarray(run(x_dev, jnp.uint8(255)))  # compile + warm + sync
+        best = float("inf")
+        for _ in range(repeats):
+            seed_counter = (seed_counter + 1) % 255
+            seed = jnp.uint8(seed_counter)
+            t0 = time.perf_counter()
+            np.asarray(run(x_dev, seed))  # download forces execution
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+
+    per_apply = (times[chain_long] - times[chain_short]) / (
+        chain_long - chain_short
+    )
+    num_samples = 1
+    for dim in x_dev.shape:
+        num_samples *= dim
+    return {
+        "seconds_per_apply": per_apply,
+        "samples_per_second": num_samples / per_apply if per_apply > 0 else 0.0,
+        "times": times,
+        "num_samples": num_samples,
+    }
