@@ -1,0 +1,87 @@
+"""Streaming FIR tests: offline equivalence + checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from warmup_fir_filter_tpu.models.filters import FILTER_BANKS
+from warmup_fir_filter_tpu.models.golden import fir1d_fixed_golden_rows
+from warmup_fir_filter_tpu.ops.qformat import QFormat
+from warmup_fir_filter_tpu.ops.streaming import Fir1DStream, FirStreamState
+
+
+def _stream_all(stream, x, block):
+    chunks = [
+        stream.process(x[:, i : i + block])
+        for i in range(0, x.shape[1], block)
+    ]
+    chunks.append(stream.flush())
+    return np.concatenate(chunks, axis=1)
+
+
+@pytest.mark.parametrize("block", [1, 7, 32, 100])
+@pytest.mark.parametrize("tap", [3, 5])
+def test_streaming_equals_offline(rng, tap, block):
+    h = np.asarray(FILTER_BANKS[tap]["sharpen"])
+    x = rng.integers(0, 256, size=(3, 100), dtype=np.uint8)
+    stream = Fir1DStream(h, channels=3)
+    emitted = _stream_all(stream, x, block)
+    offline = fir1d_fixed_golden_rows(x, h)
+    center = tap // 2
+    # Emitted stream is the offline output delayed by `center` samples.
+    np.testing.assert_array_equal(emitted[:, center:center + 100], offline)
+
+
+def test_checkpoint_resume_bit_exact(rng, tmp_path):
+    h = np.asarray(FILTER_BANKS[5]["edge"])
+    x = rng.integers(0, 256, size=(2, 240), dtype=np.uint8)
+
+    # Uninterrupted run.
+    s1 = Fir1DStream(h, channels=2)
+    full = np.concatenate(
+        [s1.process(x[:, :120]), s1.process(x[:, 120:]), s1.flush()], axis=1
+    )
+
+    # Interrupted run: checkpoint after the first block, resume fresh.
+    s2 = Fir1DStream(h, channels=2)
+    part1 = s2.process(x[:, :120])
+    s2.state.save(tmp_path / "ckpt.npz")
+
+    s3 = Fir1DStream(h, channels=2)
+    s3.state = FirStreamState.load(tmp_path / "ckpt.npz")
+    part2 = np.concatenate([s3.process(x[:, 120:]), s3.flush()], axis=1)
+
+    np.testing.assert_array_equal(np.concatenate([part1, part2], 1), full)
+    assert s3.state.samples_seen == 240 + 2  # +flush zeros
+
+
+def test_reset_zeroes_delay_line(rng):
+    h = np.asarray(FILTER_BANKS[3]["moving_avg"])
+    x = rng.integers(0, 256, size=(1, 50), dtype=np.uint8)
+    stream = Fir1DStream(h, channels=1)
+    first = stream.process(x)
+    stream.reset()
+    second = stream.process(x)
+    np.testing.assert_array_equal(first, second)
+
+
+def test_single_tap_stream(rng):
+    x = rng.integers(0, 256, size=(2, 40), dtype=np.uint8)
+    stream = Fir1DStream([1.0], channels=2)
+    np.testing.assert_array_equal(stream.process(x), x)
+    assert stream.flush().shape == (2, 0)
+
+
+def test_custom_qformat_stream(rng):
+    qf = QFormat(acc_bits=16, frac_bits=8)
+    h = np.array([7.5, -8.0, 7.5])
+    x = rng.integers(0, 256, size=(2, 64), dtype=np.uint8)
+    stream = Fir1DStream(h, channels=2, qformat=qf)
+    emitted = _stream_all(stream, x, 16)
+    offline = fir1d_fixed_golden_rows(x, h, qf)
+    np.testing.assert_array_equal(emitted[:, 1:65], offline)
+
+
+def test_wrong_channel_count_rejected(rng):
+    stream = Fir1DStream([0.5], channels=2)
+    with pytest.raises(ValueError, match="channels"):
+        stream.process(np.zeros((3, 8), np.uint8))

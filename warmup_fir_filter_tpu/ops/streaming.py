@@ -1,0 +1,128 @@
+"""Stateful block-streaming FIR with checkpointable carry state.
+
+TPU-native successor of the reference's C++ streaming model
+(``fir_1d/model/cpp/fir_1d_ref.cpp:16-33``: a Direct-Form-I delay line
+shifted one sample at a time) and of its implicit checkpoint/resume
+subsystem (SURVEY.md §5.4): here the delay line is a ``(C, L-1)`` carry
+block processed a whole block at a time, and the carry *is* the resume
+state — exactly the halo that the multi-chip path exchanges over ICI.
+
+Semantics: feeding blocks x_0, x_1, … of width S emits blocks y_0, y_1,…
+such that ``concat(y_b)`` equals the same-mode filtering of the
+zero-prepended stream delayed by ``center = L // 2`` samples:
+
+    emitted[t] = y_global[t - center]      (zero-pad before t = 0)
+
+``flush()`` pushes ``center`` zeros to emit the final tail, after which
+``concat(all emitted)[center:]`` is bit-identical to the offline
+``fir1d_fixed_rows_jnp`` output of the whole stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from warmup_fir_filter_tpu.ops.fir1d import fixed_fir_prehaloed_i32
+from warmup_fir_filter_tpu.ops.qformat import QFormat
+
+
+@dataclasses.dataclass
+class FirStreamState:
+    """Checkpointable streaming state: the delay line + sample count."""
+
+    carry: np.ndarray  # (C, L-1) int32 — last L-1 input samples
+    samples_seen: int
+
+    def save(self, path: Path) -> None:
+        np.savez(path, carry=self.carry,
+                 samples_seen=np.int64(self.samples_seen))
+
+    @classmethod
+    def load(cls, path: Path) -> "FirStreamState":
+        data = np.load(path)
+        return cls(
+            carry=np.asarray(data["carry"], np.int32),
+            samples_seen=int(data["samples_seen"]),
+        )
+
+
+class Fir1DStream:
+    """Block-streaming bit-exact fixed-point FIR over C channels.
+
+    Drop-in capability parity with the reference C++ ``Fir1D``
+    (``set_taps``/``process``/``reset``, ``fir_1d_ref.h:8-27``) but
+    block-oriented, jit-compiled, and with first-class state
+    checkpointing.
+    """
+
+    def __init__(self, h, channels: int, qformat: QFormat = QFormat()):
+        if not qformat.tpu_native:
+            raise ValueError(
+                f"acc_bits={qformat.acc_bits} > 32 is not representable in "
+                "the int32 TPU sim path."
+            )
+        self.qformat = qformat
+        self.channels = int(channels)
+        self.set_taps(h)
+
+    def set_taps(self, h) -> None:
+        self._h_fixed = self.qformat.quantize_coeffs(h).astype(np.int32)
+        self.num_taps = int(self._h_fixed.size)
+        self.center = self.num_taps // 2
+        self.reset()
+
+    def reset(self) -> None:
+        """Zero the delay line (``fir_1d_ref.cpp:35``)."""
+        self.state = FirStreamState(
+            carry=np.zeros((self.channels, self.num_taps - 1), np.int32),
+            samples_seen=0,
+        )
+
+    def process(self, x_block) -> np.ndarray:
+        """Feed a (C, S) uint8 block; returns the (C, S) uint8 output."""
+        x = np.asarray(x_block)
+        if x.shape[0] != self.channels:
+            raise ValueError(
+                f"Expected {self.channels} channels, got {x.shape[0]}."
+            )
+        y, new_carry = _stream_step(
+            jnp.asarray(x, jnp.int32),
+            jnp.asarray(self.state.carry),
+            jnp.asarray(self._h_fixed),
+            self.num_taps,
+            self.qformat.frac_bits,
+            self.qformat.acc_bits,
+        )
+        self.state = FirStreamState(
+            carry=np.asarray(new_carry, np.int32),
+            samples_seen=self.state.samples_seen + x.shape[1],
+        )
+        return np.asarray(y)
+
+    def flush(self) -> np.ndarray:
+        """Emit the final ``center`` outputs by pushing zeros."""
+        if self.center == 0:
+            return np.zeros((self.channels, 0), np.uint8)
+        return self.process(
+            np.zeros((self.channels, self.center), np.uint8)
+        )
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("num_taps", "frac_bits", "acc_bits"))
+def _stream_step(x_i32, carry_i32, h_i32, num_taps, frac_bits, acc_bits):
+    if num_taps > 1:
+        ext = jnp.concatenate([carry_i32, x_i32], axis=1)
+        new_carry = ext[:, -(num_taps - 1):]
+    else:
+        ext = x_i32
+        new_carry = carry_i32
+    y = fixed_fir_prehaloed_i32(ext, h_i32, num_taps, frac_bits, acc_bits)
+    return y, new_carry
