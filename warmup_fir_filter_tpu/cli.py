@@ -88,11 +88,16 @@ def run_pipeline(
             result["stages"][f"fixed_{t}tap"] = {"generated": generated}
 
     if not skip_report:
+        from warmup_fir_filter_tpu.pipeline.analysis import (
+            generate_analysis_doc,
+        )
+
         for t in taps:
             stage_line(f"generate compare report ({t}tap)")
             report = generate_compare_report(
                 store, tap=t, top_k=top_k, strict=strict_report
             )
+            report["analysis_md"] = str(generate_analysis_doc(store, tap=t))
             result["stages"][f"report_{t}tap"] = report
 
     if not skip_restore:
