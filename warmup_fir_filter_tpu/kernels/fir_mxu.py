@@ -122,6 +122,7 @@ def _fir_mxu_kernel(
     col_tiles: int,
     frac_bits: int,
     acc_bits: int,
+    needs_wrap: bool,
 ):
     bias = bias_ref[0, 0]
 
@@ -130,37 +131,50 @@ def _fir_mxu_kernel(
     def _rebias(u8):
         return pltpu.bitcast(u8 ^ jnp.uint8(0x80), jnp.int8)
 
-    x_body = _rebias(body_ref[:])
-    x_tail = _rebias(tail_ref[:])
+    x_body = _rebias(body_ref[:])   # (BR, C·128)
+    x_tail = _rebias(tail_ref[:])   # (BR, 128)
+    block_rows = x_body.shape[0]
+    flat = (block_rows * col_tiles, LANE)
 
-    for t in range(col_tiles):
-        if t < col_tiles - 1:
-            window = x_body[:, t * LANE : t * LANE + 2 * LANE]
-        else:
-            window = jnp.concatenate(
-                [x_body[:, t * LANE :], x_tail], axis=1
-            )
-        acc = jnp.full((window.shape[0], LANE), bias, jnp.int32)
-        for plane, b in enumerate(exponents):
-            prod = jnp.dot(window, a_ref[plane],
-                           preferred_element_type=jnp.int32)
-            acc = acc + (prod << (8 * b) if b else prod)
+    # Flatten the per-tile loop into two big matmuls per digit:
+    #   s0[b·C + t, :] = x[b, t·128 : (t+1)·128]        (@ A0 plane)
+    #   s1[b·C + t, :] = x[b, (t+1)·128 : (t+2)·128]    (@ A1 plane)
+    # M = BR·C keeps the MXU pipeline full instead of C small matmuls.
+    s0 = x_body.reshape(flat)
+    s1 = jnp.concatenate([x_body[:, LANE:], x_tail], axis=1).reshape(flat)
+    windows = jnp.concatenate([s0, s1], axis=1)  # (BR·C, 256) int8
 
+    acc = jnp.full(flat, bias, jnp.int32)
+    for plane, b in enumerate(exponents):
+        prod = jnp.dot(windows, a_ref[plane],
+                       preferred_element_type=jnp.int32)
+        acc = acc + (prod << (8 * b) if b else prod)
+
+    if needs_wrap:
+        # Exact-wraparound path: reduce mod 2^acc_bits + sign-extend,
+        # then the overflow-free bias-round-shift decomposition.
         if acc_bits < 32:
             shift = 32 - acc_bits
             acc = (acc << shift) >> shift
         low = acc & ((1 << frac_bits) - 1)
         carry = (low + (1 << (frac_bits - 1))) >> frac_bits
         final = (acc >> frac_bits) + carry
-        o_ref[:, t * LANE : (t + 1) * LANE] = (
-            jnp.clip(final, 0, 255).astype(jnp.uint8)
-        )
+    else:
+        # Provably-no-wrap fast path (host checked 255·Σ|h_fixed| + bias
+        # headroom < 2^(acc_bits-1)): the rounding bias 2^(fb-1) is
+        # folded into the SMEM bias constant, so the epilogue is one
+        # arithmetic shift + clip.
+        final = acc >> frac_bits
+
+    o_ref[:] = jnp.clip(final, 0, 255).astype(jnp.uint8).reshape(
+        block_rows, col_tiles * LANE
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("exponents", "frac_bits", "acc_bits", "block_rows",
-                     "col_tiles", "interpret"),
+                     "col_tiles", "needs_wrap", "interpret"),
 )
 def _fir_mxu_padded(
     x_ext,   # (B_pad, W_out_pad + 128) uint8, pre-haloed + aligned
@@ -171,6 +185,7 @@ def _fir_mxu_padded(
     acc_bits: int,
     block_rows: int,
     col_tiles: int,
+    needs_wrap: bool,
     interpret: bool,
 ):
     b_pad, w_in = x_ext.shape
@@ -197,6 +212,7 @@ def _fir_mxu_padded(
         col_tiles=col_tiles,
         frac_bits=frac_bits,
         acc_bits=acc_bits,
+        needs_wrap=needs_wrap,
     )
     return pl.pallas_call(
         kernel,
@@ -241,8 +257,18 @@ def fir1d_fixed_rows_mxu(
     num_taps = int(h_fixed.size)
     center = num_taps // 2
     a_stacked, exponents = build_band_matrices(h_fixed)
-    # 128 · Σ h_fixed, reduced mod 2^32 into a two's-complement int32.
-    bias_val = (128 * int(h_fixed.sum())) & 0xFFFFFFFF
+    # Wraparound emulation is only needed when the accumulator can
+    # actually exceed the acc_bits range: worst |MAC| = 255·Σ|h_fixed|
+    # (input bias included in the 128·Σh constant below, bounded by the
+    # same sum). Otherwise the fast epilogue is bit-identical.
+    worst_acc = 255 * int(np.abs(h_fixed).sum()) + (1 << (qformat.frac_bits - 1))
+    needs_wrap = worst_acc >= (1 << (qformat.acc_bits - 1))
+    # 128 · Σ h_fixed, reduced mod 2^32 into a two's-complement int32;
+    # the fast path folds the rounding bias 2^(fb-1) in as well.
+    bias_val = 128 * int(h_fixed.sum())
+    if not needs_wrap:
+        bias_val += 1 << (qformat.frac_bits - 1)
+    bias_val &= 0xFFFFFFFF
     if bias_val >= 1 << 31:
         bias_val -= 1 << 32
     bias = np.asarray([[bias_val]], np.int32)
@@ -268,6 +294,7 @@ def fir1d_fixed_rows_mxu(
         qformat.acc_bits,
         block_rows,
         col_tiles,
+        needs_wrap,
         (jax.default_backend() != "tpu") if interpret is None else interpret,
     )
     return out[:batch, :n]

@@ -25,8 +25,8 @@ def chained_throughput(
     step_fn,
     x_dev,
     *,
-    chain_short: int = 4,
-    chain_long: int = 36,
+    chain_short: int = 8,
+    chain_long: int = 104,
     repeats: int = 5,
 ) -> dict:
     """Samples/s of a shape-preserving uint8 step function.
