@@ -1,0 +1,148 @@
+"""Multi-device scaling benchmark for the sharded fixed-point FIR.
+
+BASELINE.json target: ≥90% scaling efficiency from 1 chip to N.
+
+Two modes:
+
+- ``--mode overhead`` (default; correct for a *virtual* CPU mesh, where
+  all "devices" share one host's cores and absolute weak-scaling numbers
+  are meaningless): runs the same total workload on the same n devices
+  twice — sharded along **time** (requires ppermute halo exchange) and
+  sharded along **channels** (embarrassingly parallel, no collectives).
+  Their ratio isolates the communication/sharding overhead, which is the
+  quantity that maps to real-pod scaling efficiency: efficiency ≈
+  1 / (1 + overhead).
+
+- ``--mode weak`` (for a real pod slice): constant per-device work,
+  efficiency = throughput(n) / (n · throughput(1)).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def _sync(out) -> None:
+    import numpy as np
+
+    np.asarray(out[0, :8])  # tiny download forces full execution
+
+
+def _best_time(fn, repeats: int) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _sync(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
+    parser.add_argument("--mode", default="overhead",
+                        choices=("overhead", "weak"))
+    parser.add_argument("--devices", type=int, default=8)
+    parser.add_argument("--channels", type=int, default=8)
+    parser.add_argument("--time", type=int, default=1 << 14)
+    parser.add_argument("--repeats", type=int, default=7)
+    args = parser.parse_args()
+
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from warmup_fir_filter_tpu.models.filters import FILTER_BANK_5TAP
+    from warmup_fir_filter_tpu.parallel import fir1d_fixed_sharded, make_mesh
+    from warmup_fir_filter_tpu.parallel.distributed import (
+        initialize_multihost,
+    )
+
+    initialize_multihost()
+    devices = jax.devices()[: args.devices]
+    n = len(devices)
+    h = np.asarray(FILTER_BANK_5TAP["sharpen"])
+    rng = np.random.default_rng(7)
+
+    if args.mode == "overhead":
+        x = rng.integers(
+            0, 256, size=(args.channels * n, args.time * n), dtype=np.uint8
+        )
+        mesh_time = make_mesh({"data": 1, "time": n}, devices=devices)
+        mesh_data = make_mesh({"data": n, "time": 1}, devices=devices)
+
+        run_time = lambda: fir1d_fixed_sharded(x, h, mesh=mesh_time)  # noqa: E731
+        run_data = lambda: fir1d_fixed_sharded(x, h, mesh=mesh_data)  # noqa: E731
+        _sync(run_time())
+        _sync(run_data())
+        t_halo = _best_time(run_time, args.repeats)
+        t_plain = _best_time(run_data, args.repeats)
+        overhead = max(0.0, t_halo / t_plain - 1.0)
+        efficiency = 1.0 / (1.0 + overhead)
+        payload = {
+            "metric": "halo_sharding_efficiency",
+            "value": round(efficiency, 3),
+            "unit": f"fraction at {n} devices (comm-overhead proxy)",
+            "vs_baseline": round(efficiency / 0.9, 3),
+            "platform": args.platform,
+            "time_sharded_s": round(t_halo, 4),
+            "channel_sharded_s": round(t_plain, 4),
+            "workload": (
+                f"5-tap fixed FIR, {args.channels * n}ch x "
+                f"{args.time * n} samples, {n}-device mesh"
+            ),
+        }
+    else:
+        results = {}
+        m = 1
+        while m <= n:
+            mesh = make_mesh({"data": 1, "time": m}, devices=devices[:m])
+            x = rng.integers(
+                0, 256, size=(args.channels, args.time * m), dtype=np.uint8
+            )
+            run = lambda: fir1d_fixed_sharded(x, h, mesh=mesh)  # noqa: E731
+            _sync(run())
+            best = _best_time(run, args.repeats)
+            results[m] = x.size / best / 1e6
+            m *= 2
+        base = results[1]
+        max_n = max(results)
+        efficiency = results[max_n] / (base * max_n)
+        payload = {
+            "metric": "scaling_efficiency_weak",
+            "value": round(efficiency, 3),
+            "unit": f"fraction at {max_n} devices",
+            "vs_baseline": round(efficiency / 0.9, 3),
+            "platform": args.platform,
+            "msps_per_n": {str(k): round(v, 1) for k, v in results.items()},
+            "workload": (
+                f"5-tap fixed FIR, {args.channels}ch x {args.time}/device"
+            ),
+        }
+    print(json.dumps(payload))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

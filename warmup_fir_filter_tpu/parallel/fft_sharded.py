@@ -1,0 +1,92 @@
+"""Time-sharded FFT overlap-save over a device mesh.
+
+BASELINE.json config 4: "FFT overlap-save equivalent of 63-tap FIR on
+16 channels x 10M samples, sharded across chips with halo exchange."
+Each device owns a T/n time block of every channel, exchanges the
+asymmetric same-mode halo with its neighbors over ICI (``ppermute``, via
+:func:`parallel.halo.exchange_halo_1d`), and runs the *local* overlap-
+save pipeline on its extended block — the result equals the unsharded
+FFT path exactly (same blocks would be formed globally when the local
+block length is a multiple of the FFT hop).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from warmup_fir_filter_tpu.ops.fftfilt import pick_nfft
+from warmup_fir_filter_tpu.parallel.halo import exchange_halo_1d
+
+
+def fir_overlap_save_sharded(
+    x,
+    h,
+    *,
+    mesh: Mesh,
+    time_axis: str = "time",
+    channel_axis: str = "data",
+    nfft: int | None = None,
+) -> jax.Array:
+    """Float32 same-mode FIR via FFT overlap-save, (C, T) sharded C×T."""
+    h64 = np.asarray(h, np.float64)
+    num_taps = int(h64.size)
+    nfft = pick_nfft(num_taps) if nfft is None else nfft
+    if nfft < num_taps:
+        raise ValueError(f"nfft={nfft} must be >= num_taps={num_taps}")
+    center = num_taps // 2
+    left_w, right_w = num_taps - 1 - center, center
+
+    x_f32 = jnp.asarray(x, jnp.float32)
+    channels, time = x_f32.shape
+    for size, axis in ((channels, channel_axis), (time, time_axis)):
+        if size % mesh.shape[axis]:
+            raise ValueError(
+                f"Dimension {size} not divisible by mesh axis "
+                f"{axis!r}={mesh.shape[axis]}."
+            )
+
+    local_time = time // mesh.shape[time_axis]
+    step = nfft - (num_taps - 1)
+    num_blocks = -(-local_time // step)
+    h_freq_host = np.fft.rfft(h64, n=nfft).astype(np.complex64)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(channel_axis, time_axis), P()),
+        out_specs=P(channel_axis, time_axis),
+    )
+    def _step(x_loc, h_freq):
+        # Halo exchange gives each shard the same neighborhood it would
+        # see inside the global zero-padded stream.
+        x_ext = exchange_halo_1d(
+            x_loc, axis_name=time_axis, left_width=left_w,
+            right_width=right_w,
+        )
+        # Local overlap-save over the extended block: segment b covers
+        # ext indices [b·step, b·step + nfft); local output t lives at
+        # ext index t + left_w, and y[t] needs ext[t ... t + L - 1],
+        # i.e. the standard discard-first-(L-1) alignment.
+        # Last segment ends at (num_blocks-1)·step + nfft
+        # = num_blocks·step + (L-1) in extended coordinates.
+        pad_right = num_blocks * step + (num_taps - 1) - x_ext.shape[1]
+        xp = jnp.pad(x_ext, ((0, 0), (0, max(0, pad_right))))
+        starts = jnp.arange(num_blocks) * step
+        idx = starts[:, None] + jnp.arange(nfft)[None, :]
+        segments = xp[:, idx]
+        spec = jnp.fft.rfft(segments, axis=-1)
+        y_blocks = jnp.fft.irfft(spec * h_freq, n=nfft, axis=-1)
+        valid = y_blocks[:, :, num_taps - 1 :]
+        out = valid.reshape(x_loc.shape[0], num_blocks * step)
+        return out[:, :local_time]
+
+    x_sharded = jax.device_put(
+        x_f32, NamedSharding(mesh, P(channel_axis, time_axis))
+    )
+    return jax.jit(_step)(x_sharded, jnp.asarray(h_freq_host))
