@@ -128,6 +128,10 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--image-dir", type=Path, default=DEFAULT_IMAGE_DIR,
                         help="Source image directory.")
+    parser.add_argument("--synthesize-corpus", action="store_true",
+                        help="Generate a deterministic synthetic image "
+                             "corpus into --image-dir before running "
+                             "(self-contained operation).")
     parser.add_argument("--artifact-root", type=Path,
                         default=Path("artifacts"),
                         help="Root directory for all pipeline artifacts.")
@@ -160,6 +164,11 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.synthesize_corpus:
+        from warmup_fir_filter_tpu.pipeline.synthetic import synthesize_corpus
+
+        stage_line(f"synthesize corpus -> {args.image_dir}")
+        synthesize_corpus(args.image_dir)
     start = time.perf_counter()
     try:
         result = run_pipeline(
