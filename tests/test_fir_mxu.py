@@ -43,15 +43,15 @@ class TestSignedDigits:
 
 class TestBandMatrices:
     def test_band_reconstructs_convolution(self, rng):
-        # [X_t | X_{t+1}] @ stacked must equal the direct tile conv.
-        h_fixed = rng.integers(-30000, 30000, size=5)
-        stacked, exps = build_band_matrices(h_fixed)
+        # [X_t | X_{t+1}[:, :L-1]] @ stacked must equal the direct conv
+        # (the stacked operand is trimmed to K = 128 + L - 1).
         num_taps = 5
+        h_fixed = rng.integers(-30000, 30000, size=num_taps)
+        stacked, exps = build_band_matrices(h_fixed)
         x_ext = rng.integers(-128, 128, size=(4, 2 * LANE)).astype(np.int64)
+        windows = x_ext[:, : LANE + num_taps - 1]
         full = sum(
-            (256**b) * (x_ext @ np.vstack(
-                [stacked[p][:LANE], stacked[p][LANE:]]
-            ).astype(np.int64))
+            (256**b) * (windows @ stacked[p].astype(np.int64))
             for p, b in enumerate(exps)
         )
         direct = np.zeros((4, LANE), np.int64)
@@ -61,12 +61,13 @@ class TestBandMatrices:
         np.testing.assert_array_equal(full, direct)
 
     def test_zero_digit_planes_dropped(self):
-        # Q4.12 bank coefficients are multiples of 256 → one kept plane.
+        # Q4.12 bank coefficients are multiples of 256 → one kept plane,
+        # trimmed to K = 128 + (L - 1) rows.
         qf = QFormat()
         h_fixed = qf.quantize_coeffs(FILTER_BANKS[5]["sharpen"])
         stacked, exps = build_band_matrices(h_fixed)
         assert exps == (1,)
-        assert stacked.shape == (1, 2 * LANE, LANE)
+        assert stacked.shape == (1, LANE + 4, LANE)
 
     def test_too_many_taps_rejected(self):
         with pytest.raises(ValueError, match="supports up to"):

@@ -95,18 +95,22 @@ def build_band_matrices(h_fixed: np.ndarray) -> tuple[np.ndarray, tuple[int, ...
     k1 = k0 - LANE
     m0 = (k0 >= 0) & (k0 < num_taps)
     m1 = (k1 >= 0) & (k1 < num_taps)
+    # A1[j, i] is nonzero only for j < L - 1 (the band's spill), so the
+    # stacked operand needs only K = 128 + L - 1 rows — halving the MXU
+    # work for small taps versus a full two-tile stack.
+    spill = max(num_taps - 1, 1)
     planes = []
     exponents = []
     for b in range(digits.shape[0]):
         if not np.any(digits[b]):
             continue
-        a = np.zeros((2 * LANE, LANE), np.int8)
+        a = np.zeros((LANE + spill, LANE), np.int8)
         a[:LANE][m0] = digits[b][k0[m0]]
-        a[LANE:][m1] = digits[b][k1[m1]]
+        a[LANE:][m1[:spill]] = digits[b][k1[:spill][m1[:spill]]]
         planes.append(a)
         exponents.append(b)
     if not planes:  # all-zero filter
-        planes.append(np.zeros((2 * LANE, LANE), np.int8))
+        planes.append(np.zeros((LANE + spill, LANE), np.int8))
         exponents.append(0)
     return np.stack(planes), tuple(exponents)
 
@@ -123,6 +127,7 @@ def _fir_mxu_kernel(
     frac_bits: int,
     acc_bits: int,
     needs_wrap: bool,
+    spill: int,
 ):
     bias = bias_ref[0, 0]
 
@@ -142,12 +147,16 @@ def _fir_mxu_kernel(
     # M = BR·C keeps the MXU pipeline full instead of C small matmuls.
     s0 = x_body.reshape(flat)
     s1 = jnp.concatenate([x_body[:, LANE:], x_tail], axis=1).reshape(flat)
-    windows = jnp.concatenate([s0, s1], axis=1)  # (BR·C, 256) int8
-
+    # Split each digit's band product into one full K=128 pass over the
+    # aligned tile plus a tiny K=spill corner pass over the next tile's
+    # first samples — the corner rows of A are the only nonzero spill.
     acc = jnp.full(flat, bias, jnp.int32)
+    corner = s1[:, :spill]
     for plane, b in enumerate(exponents):
-        prod = jnp.dot(windows, a_ref[plane],
+        prod = jnp.dot(s0, a_ref[plane, :LANE, :],
                        preferred_element_type=jnp.int32)
+        prod = prod + jnp.dot(corner, a_ref[plane, LANE:, :],
+                              preferred_element_type=jnp.int32)
         acc = acc + (prod << (8 * b) if b else prod)
 
     if needs_wrap:
@@ -195,7 +204,7 @@ def _fir_mxu_padded(
 
     in_specs = [
         pl.BlockSpec((1, 1), lambda r, t: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((depth, 2 * LANE, LANE), lambda r, t: (0, 0, 0),
+        pl.BlockSpec((depth, a.shape[1], LANE), lambda r, t: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         # Body: the C output-aligned input tiles (one wide DMA) ...
         pl.BlockSpec((block_rows, col_tiles * LANE), lambda r, t: (r, t),
@@ -213,6 +222,7 @@ def _fir_mxu_padded(
         frac_bits=frac_bits,
         acc_bits=acc_bits,
         needs_wrap=needs_wrap,
+        spill=a.shape[1] - LANE,
     )
     return pl.pallas_call(
         kernel,
