@@ -1,0 +1,171 @@
+"""Run every BASELINE.json config end-to-end and report pass/fail.
+
+The five configs (BASELINE.json:6-12) are the acceptance scenarios of
+the north star.  Each run checks its numeric contract (bit-exactness vs
+golden, or SNR bound vs the float ideal) and reports throughput where
+meaningful.  Prints ONE JSON line with per-config results.
+
+Usage: ``python bench_configs.py [--quick]`` (``--quick`` shrinks the
+stream lengths ~16x for CI-speed smoke runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import numpy as np
+
+
+def config1_bit_compare(results: dict) -> None:
+    """3-tap fixed FIR over 1k-sample vectors, bit-compare vs golden."""
+    import jax.numpy as jnp
+
+    from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
+    from warmup_fir_filter_tpu.models.filters import FILTER_BANK_3TAP
+    from warmup_fir_filter_tpu.models.golden import fir1d_fixed_golden_rows
+
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 256, size=(64, 1024), dtype=np.uint8)
+    ok = True
+    for name, h in FILTER_BANK_3TAP.items():
+        out = np.asarray(fir1d_fixed_rows_mxu(jnp.asarray(x), np.asarray(h)))
+        ok &= bool(np.array_equal(out, fir1d_fixed_golden_rows(x, np.asarray(h))))
+    results["config1_3tap_1k_bitexact"] = {"pass": ok}
+
+
+def config2_stream_snr(results: dict, scale: int) -> None:
+    """5-tap fixed FIR over a 1M-sample stream, SNR vs float ideal."""
+    from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
+    from warmup_fir_filter_tpu.models.filters import FILTER_BANK_5TAP
+    from warmup_fir_filter_tpu.models.golden import fir1d_ideal_golden_rows
+    from warmup_fir_filter_tpu.ops.fftfilt import snr_db
+
+    rng = np.random.default_rng(2)
+    n = 1_000_000 // scale
+    h = np.asarray(FILTER_BANK_5TAP["simple_lp"])
+    x = rng.integers(0, 256, size=(1, n), dtype=np.uint8)
+    fixed = np.asarray(fir1d_fixed_rows_mxu(x, h)).astype(np.float64)
+    ideal = fir1d_ideal_golden_rows(x, h)
+    snr = snr_db(ideal, fixed)
+    # Q4.12 quantization of a low-pass: error ≪ 1 LSB → very high SNR.
+    results["config2_5tap_1M_snr"] = {
+        "pass": snr > 40.0, "snr_db": round(snr, 2), "samples": n,
+    }
+
+
+def config3_fir2d(results: dict) -> None:
+    """5x5 fixed 2D FIR on 512x512 tiles, sim-vs-model cross-check."""
+    from warmup_fir_filter_tpu.ops.fir2d import (
+        FILTER_BANK_2D,
+        fir2d_fixed_golden,
+        fir2d_fixed_jnp,
+        fir2d_ideal_golden,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, size=(512, 512), dtype=np.uint8)
+    h = FILTER_BANK_2D["gauss5"]
+    sim = np.asarray(fir2d_fixed_jnp(x, h))
+    bit_ok = bool(np.array_equal(sim, fir2d_fixed_golden(x, h)))
+    model = fir2d_ideal_golden(x, h)
+    rmse = float(np.sqrt(np.mean((sim.astype(np.float64) - model) ** 2)))
+    results["config3_fir2d_512"] = {
+        "pass": bit_ok and rmse < 0.5,
+        "bit_exact_vs_golden": bit_ok,
+        "rmse_vs_model": round(rmse, 4),
+    }
+
+
+def config4_fft_sharded(results: dict, scale: int) -> None:
+    """63-tap FFT overlap-save, 16ch x 10M, sharded with halo exchange.
+
+    Multi-chip hardware is unavailable; runs on the virtual device mesh
+    (the driver's dryrun validates the same path).
+    """
+    import jax
+
+    from warmup_fir_filter_tpu.models.golden import fir1d_ideal_golden_rows
+    from warmup_fir_filter_tpu.ops.fftfilt import snr_db
+    from warmup_fir_filter_tpu.ops.resample import design_lowpass
+    from warmup_fir_filter_tpu.parallel import make_mesh
+    from warmup_fir_filter_tpu.parallel.fft_sharded import (
+        fir_overlap_save_sharded,
+    )
+
+    devices = jax.devices()
+    n_dev = min(4, len(devices))
+    mesh = make_mesh({"data": 1, "time": n_dev}, devices=devices[:n_dev])
+    rng = np.random.default_rng(4)
+    time_len = (10_000_000 // scale // 64 // n_dev) * n_dev
+    x = rng.integers(0, 256, size=(16, time_len), dtype=np.uint8)
+    h = design_lowpass(63, 0.25)
+    out = np.asarray(fir_overlap_save_sharded(x, h, mesh=mesh), np.float64)
+    ideal = fir1d_ideal_golden_rows(x, h)
+    snr = snr_db(ideal, out)
+    results["config4_fft63_sharded"] = {
+        "pass": snr > 70.0,
+        "snr_db": round(snr, 2),
+        "devices": n_dev,
+        "shape": list(x.shape),
+    }
+
+
+def config5_full_chain(results: dict, scale: int) -> None:
+    """Polyphase 2/3 resample + 63-tap channelizer + FM demod chain."""
+    from warmup_fir_filter_tpu.models.chain import ChainConfig, chain_forward
+    from warmup_fir_filter_tpu.ops.demod import fm_modulate
+
+    cfg = ChainConfig()
+    t = np.arange(max(200_000 // scale, 20_000))
+    message = np.stack([
+        0.4 * np.cos(2 * np.pi * 0.001 * t),
+        0.3 * np.sin(2 * np.pi * 0.0015 * t),
+    ])
+    re, im = fm_modulate(message, cfg.demod_k_f)
+    out = np.asarray(chain_forward(re, im, cfg), np.float64)
+    t_out = np.arange(out.shape[1]) * 1.5
+    expected = 0.4 * np.cos(2 * np.pi * 0.001 * t_out)
+    core = slice(300, -300)
+    corr = float(np.corrcoef(out[0, core], expected[core])[0, 1])
+    results["config5_full_chain"] = {
+        "pass": corr > 0.99, "message_corr": round(corr, 5),
+        "out_shape": list(out.shape),
+    }
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+    scale = 16 if args.quick else 1
+
+    results: dict = {}
+    start = time.perf_counter()
+    config1_bit_compare(results)
+    config2_stream_snr(results, scale)
+    config3_fir2d(results)
+    config4_fft_sharded(results, scale)
+    config5_full_chain(results, scale)
+
+    all_pass = all(entry["pass"] for entry in results.values())
+    print(json.dumps({
+        "metric": "baseline_configs_pass",
+        "value": sum(int(e["pass"]) for e in results.values()),
+        "unit": f"of {len(results)} configs",
+        "vs_baseline": 1.0 if all_pass else 0.0,
+        "elapsed_s": round(time.perf_counter() - start, 1),
+        "configs": results,
+    }))
+    return 0 if all_pass else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -54,7 +54,6 @@ def fir_overlap_save_sharded(
     local_time = time // mesh.shape[time_axis]
     step = nfft - (num_taps - 1)
     num_blocks = -(-local_time // step)
-    h_freq_host = np.fft.rfft(h64, n=nfft).astype(np.complex64)
 
     @partial(
         shard_map,
@@ -62,7 +61,10 @@ def fir_overlap_save_sharded(
         in_specs=(P(channel_axis, time_axis), P()),
         out_specs=P(channel_axis, time_axis),
     )
-    def _step(x_loc, h_freq):
+    def _step(x_loc, h_f32):
+        # Complex host→device transfers are not supported on some
+        # backends; build the filter spectrum in-graph from real taps.
+        h_freq = jnp.fft.rfft(h_f32, n=nfft)
         # Halo exchange gives each shard the same neighborhood it would
         # see inside the global zero-padded stream.
         x_ext = exchange_halo_1d(
@@ -89,4 +91,4 @@ def fir_overlap_save_sharded(
     x_sharded = jax.device_put(
         x_f32, NamedSharding(mesh, P(channel_axis, time_axis))
     )
-    return jax.jit(_step)(x_sharded, jnp.asarray(h_freq_host))
+    return jax.jit(_step)(x_sharded, jnp.asarray(h64, jnp.float32))
