@@ -211,8 +211,10 @@ def generate_compare_report(
         rows: list[dict] = []
         shape_mismatches: list[dict] = []
         for key in shared:
-            y_ideal = np.load(ideal_map[key])
-            y_fixed = np.load(fixed_map[key])
+            # Memory-mapped loads: the 13.5-Mpixel f64 ideal vectors are
+            # ~540 MB each; metrics stream them without a full resident copy.
+            y_ideal = np.load(ideal_map[key], mmap_mode="r")
+            y_fixed = np.load(fixed_map[key], mmap_mode="r")
             if y_ideal.shape != y_fixed.shape:
                 shape_mismatches.append(
                     {
