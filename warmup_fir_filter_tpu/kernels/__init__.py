@@ -8,5 +8,10 @@ are bit-checked against it.
 
 from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
 from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
+from warmup_fir_filter_tpu.kernels.fir2d_mxu import fir2d_fixed_mxu
 
-__all__ = ["fir1d_fixed_rows_pallas", "fir1d_fixed_rows_mxu"]
+__all__ = [
+    "fir1d_fixed_rows_pallas",
+    "fir1d_fixed_rows_mxu",
+    "fir2d_fixed_mxu",
+]

@@ -120,7 +120,10 @@ def _fir2d_mxu_kernel(
             xb = x_full[row_shift : row_shift + block_rows, :]
             xt = x_tail[row_shift : row_shift + block_rows, :]
             s0 = xb.reshape(flat)
-            s1 = jnp.concatenate([xb[:, LANE:], xt], axis=1).reshape(flat)
+            if col_tiles > 1:
+                s1 = jnp.concatenate([xb[:, LANE:], xt], axis=1).reshape(flat)
+            else:
+                s1 = xt.reshape(flat)
             windows_cache[row_shift] = jnp.concatenate(
                 [s0, s1[:, :spill]], axis=1
             )

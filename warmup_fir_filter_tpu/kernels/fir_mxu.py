@@ -146,7 +146,10 @@ def _fir_mxu_kernel(
     #   s1[b·C + t, :] = x[b, (t+1)·128 : (t+2)·128]    (@ A1 plane)
     # M = BR·C keeps the MXU pipeline full instead of C small matmuls.
     s0 = x_body.reshape(flat)
-    s1 = jnp.concatenate([x_body[:, LANE:], x_tail], axis=1).reshape(flat)
+    if col_tiles > 1:
+        s1 = jnp.concatenate([x_body[:, LANE:], x_tail], axis=1).reshape(flat)
+    else:
+        s1 = x_tail.reshape(flat)
     # Split each digit's band product into one full K=128 pass over the
     # aligned tile plus a tiny K=spill corner pass over the next tile's
     # first samples — the corner rows of A are the only nonzero spill.
@@ -250,13 +253,15 @@ def fir1d_fixed_rows_mxu(
     h,
     qformat: QFormat = QFormat(),
     *,
-    block_rows: int = DEFAULT_BLOCK_ROWS,
-    col_tiles: int = DEFAULT_COL_TILES,
+    block_rows: int | None = None,
+    col_tiles: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Bit-exact fixed-point FIR over (B, N) uint8 rows on the MXU.
 
     Same contract as ``fir1d_fixed_rows_jnp`` / ``fir1d_fixed_rows_pallas``.
+    Block geometry defaults adapt to the input so small inputs are not
+    padded out to the full-throughput tile shape.
     """
     if not qformat.tpu_native:
         raise ValueError(
@@ -285,6 +290,13 @@ def fir1d_fixed_rows_mxu(
 
     x_u8 = jnp.asarray(x_u8, dtype=jnp.uint8)
     batch, n = x_u8.shape
+    if col_tiles is None:
+        # Don't pad narrow inputs out to the full-throughput tile count.
+        col_tiles = int(min(DEFAULT_COL_TILES,
+                            max(1, -(-n // LANE))))
+    if block_rows is None:
+        block_rows = int(min(DEFAULT_BLOCK_ROWS,
+                             _round_up(max(batch, 1), 8)))
     b_pad = _round_up(max(batch, 1), block_rows)
     n_pad = _round_up(max(n, 1), col_tiles * LANE)
     # Extended width is exactly n_pad + one extra lane-tile so that output

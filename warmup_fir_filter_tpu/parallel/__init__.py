@@ -12,5 +12,25 @@ from warmup_fir_filter_tpu.parallel.halo import (
     exchange_halo_1d,
     fir1d_fixed_sharded,
 )
+from warmup_fir_filter_tpu.parallel.reshard import (
+    channel_to_time,
+    time_to_channel,
+)
+from warmup_fir_filter_tpu.parallel.expert import filter_bank_fixed_sharded
+from warmup_fir_filter_tpu.parallel.fft_sharded import (
+    fir_overlap_save_sharded,
+)
+from warmup_fir_filter_tpu.parallel.pipeline_parallel import PipelinedChain
+from warmup_fir_filter_tpu.parallel.distributed import initialize_multihost
 
-__all__ = ["make_mesh", "exchange_halo_1d", "fir1d_fixed_sharded"]
+__all__ = [
+    "make_mesh",
+    "exchange_halo_1d",
+    "fir1d_fixed_sharded",
+    "channel_to_time",
+    "time_to_channel",
+    "filter_bank_fixed_sharded",
+    "fir_overlap_save_sharded",
+    "PipelinedChain",
+    "initialize_multihost",
+]
