@@ -1,0 +1,138 @@
+"""Pallas matmul-FFT kernel tests: np.fft agreement + fused filter.
+
+Runs in interpret mode on the CPU mesh (conftest); the same code path
+compiles on TPU (exercised by bench_configs.py / bench_fft.py).
+"""
+
+import numpy as np
+import pytest
+
+from warmup_fir_filter_tpu.kernels.fft_pallas import (
+    factor_nfft,
+    fft_rows_pallas,
+    fir_overlap_save_pallas,
+    fir_overlap_save_quantized_pallas,
+)
+from warmup_fir_filter_tpu.models.golden import (
+    fir1d_fixed_golden_rows,
+    fir1d_ideal_golden_rows,
+)
+from warmup_fir_filter_tpu.ops.fftfilt import fir_overlap_save, snr_db
+
+
+def _cplx(re, im):
+    return np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64)
+
+
+class TestFactor:
+    def test_splits(self):
+        assert factor_nfft(128) == (1, 128)
+        assert factor_nfft(256) == (2, 128)
+        assert factor_nfft(512) == (4, 128)
+        assert factor_nfft(16384) == (128, 128)
+
+    @pytest.mark.parametrize("bad", [0, 1, 96, 3, 500, 32768])
+    def test_rejects(self, bad):
+        with pytest.raises(ValueError):
+            factor_nfft(bad)
+
+
+class TestForward:
+    @pytest.mark.parametrize("nfft", [128, 256, 512, 2048])
+    def test_complex_matches_numpy(self, rng, nfft):
+        x = rng.normal(size=(5, nfft)) + 1j * rng.normal(size=(5, nfft))
+        re, im = fft_rows_pallas(x.real, x.imag)
+        want = np.fft.fft(x, axis=-1)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(
+            _cplx(re, im), want, atol=2e-4 * scale, rtol=0
+        )
+
+    @pytest.mark.parametrize("nfft", [128, 512])
+    def test_real_input(self, rng, nfft):
+        x = rng.normal(size=(3, nfft))
+        re, im = fft_rows_pallas(x)
+        want = np.fft.fft(x, axis=-1)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(
+            _cplx(re, im), want, atol=2e-4 * scale, rtol=0
+        )
+
+    def test_single_row_and_padding(self, rng):
+        # batch smaller than a row block exercises the pad/trim path
+        x = rng.normal(size=(1, 256))
+        re, im = fft_rows_pallas(x)
+        want = np.fft.fft(x, axis=-1)
+        np.testing.assert_allclose(
+            _cplx(re, im), want, atol=1e-3, rtol=0
+        )
+
+
+class TestInverse:
+    @pytest.mark.parametrize("nfft", [128, 512])
+    def test_roundtrip(self, rng, nfft):
+        x = rng.normal(size=(4, nfft)) + 1j * rng.normal(size=(4, nfft))
+        fr, fi = fft_rows_pallas(x.real, x.imag)
+        br, bi = fft_rows_pallas(fr, fi, inverse=True)
+        np.testing.assert_allclose(
+            _cplx(br, bi), x, atol=5e-4 * np.abs(x).max(), rtol=0
+        )
+
+    def test_inverse_matches_numpy(self, rng):
+        spec = rng.normal(size=(2, 256)) + 1j * rng.normal(size=(2, 256))
+        br, bi = fft_rows_pallas(spec.real, spec.imag, inverse=True)
+        want = np.fft.ifft(spec, axis=-1)
+        np.testing.assert_allclose(
+            _cplx(br, bi), want, atol=1e-5, rtol=0
+        )
+
+    def test_inverse_requires_imag(self):
+        with pytest.raises(ValueError, match="inverse"):
+            fft_rows_pallas(np.zeros((1, 128)), inverse=True)
+
+
+class TestFusedOverlapSave:
+    def test_matches_jnp_path(self, rng):
+        h = rng.uniform(-0.1, 0.1, 63)
+        x = rng.integers(0, 256, size=(3, 5_000), dtype=np.uint8)
+        want = np.asarray(fir_overlap_save(x, h), np.float64)
+        got = np.asarray(fir_overlap_save_pallas(x, h), np.float64)
+        np.testing.assert_allclose(got, want, atol=5e-2, rtol=0)
+        assert snr_db(want, got) > 80.0
+
+    def test_matches_ideal(self, rng):
+        h = rng.uniform(-0.5, 0.5, 7)
+        x = rng.integers(0, 256, size=(2, 700), dtype=np.uint8)
+        ideal = fir1d_ideal_golden_rows(x, h)
+        got = np.asarray(fir_overlap_save_pallas(x, h), np.float64)
+        assert snr_db(ideal, got) > 80.0
+
+    def test_block_boundary_alignment(self, rng):
+        # Identity-at-center filter makes any misalignment a hard error.
+        h = np.zeros(9)
+        h[4] = 1.0
+        x = rng.integers(0, 256, size=(2, 700), dtype=np.uint8)
+        out = np.asarray(fir_overlap_save_pallas(x, h, nfft=128))
+        np.testing.assert_allclose(out, x.astype(np.float32), atol=1e-2)
+
+    def test_even_tap_alignment(self, rng):
+        h = np.array([1.0, 0.0])  # L=2, center=1 → y[n] = x[n+1]
+        x = rng.integers(0, 256, size=(1, 300), dtype=np.uint8)
+        out = np.asarray(fir_overlap_save_pallas(x, h, nfft=128))
+        expected = fir1d_ideal_golden_rows(x, h)
+        np.testing.assert_allclose(out, expected, atol=1e-2)
+
+    def test_quantized_vs_fixed_sim(self, rng):
+        h = rng.uniform(-0.05, 0.05, 63)
+        x = rng.integers(0, 256, size=(2, 4_000), dtype=np.uint8)
+        fixed = fir1d_fixed_golden_rows(x, h)
+        fft_u8 = np.asarray(fir_overlap_save_quantized_pallas(x, h))
+        diff = fft_u8.astype(np.int32) - fixed.astype(np.int32)
+        assert np.abs(diff).max() <= 1
+        assert float(np.mean(diff != 0)) < 0.02
+
+    def test_nfft_too_small_rejected(self):
+        with pytest.raises(ValueError, match="nfft"):
+            fir_overlap_save_pallas(
+                np.zeros((1, 10), np.uint8), np.ones(63), nfft=32
+            )

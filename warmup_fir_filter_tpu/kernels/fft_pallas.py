@@ -1,0 +1,577 @@
+"""Pallas TPU kernels: matmul-based FFT and fused FFT overlap-save filter.
+
+The hand-written FFT path mandated by the north star (BASELINE.json:
+"The FIR taps-MAC and FFT kernels are hand-written Pallas kernels") and
+the TPU-native realization of what the reference's ``MyComplex`` phase
+constructor was scaffolding (``lib/mycomplex.h:15`` — unit-phasor
+twiddles for a future FFT).
+
+Design (see /opt/skills/guides/pallas_guide.md):
+
+- **FFT as matmuls, not butterflies.**  A radix-2 butterfly network
+  fights the TPU's (sublane × 128-lane) layout: every stage is a
+  strided shuffle the VPU hates.  Instead we use the 4-step
+  Cooley–Tukey factorization ``nfft = N1 × N2`` with ``N2 = 128`` (the
+  lane width): both DFT factors become *dense MXU matmuls* and the
+  inter-factor twiddle is one VPU multiply.  More FLOPs than
+  ``N log N``, but the MXU supplies them essentially for free and every
+  operand sits in a perfect 128-lane tile.
+
+- **Index map.**  With ``n = N2·n1 + n2`` and ``k = k1 + N1·k2``::
+
+      X[k1 + N1·k2] = Σ_{n2} W_N2^{n2·k2} · W_N^{k1·n2} ·
+                      (Σ_{n1} W_N1^{k1·n1} · x[N2·n1 + n2])
+
+  Data rides in "m-layout" planes ``(N1, B·N2)`` — column blocks of one
+  batch row's ``N2`` lanes — so the outer DFT is ``F1 @ plane`` and the
+  inner DFT is ``plane' @ F2`` after a layout-compatible row-major
+  reshape ``(N1, R·N2) → (N1·R, N2)`` (no transpose: flat order is
+  identical).  Twiddles broadcast over the batch with a sublane
+  ``jnp.repeat`` of an ``(N1, N2)`` table.
+
+- **Fused overlap-save filter.**  The forward FFT leaves the spectrum
+  in *scrambled* ``[k1, b, k2]`` order.  Rather than paying the
+  natural-order relayout, the filter's frequency response is
+  pre-permuted to the same order (``Hp[k1, k2] = H[k1 + N1·k2]``), the
+  multiply happens in scrambled order, and the inverse FFT consumes
+  scrambled input and emits natural order — the two relayouts cancel.
+  One kernel: segments → forward DFTs → H multiply → inverse DFTs →
+  filtered block, never leaving VMEM, 12 real MXU matmuls total.
+
+- **No complex dtypes anywhere**: split re/im float32 planes (the axon
+  backend cannot transfer complex64 host→device; twiddle/DFT tables and
+  the filter spectrum are shipped as real cos/sin planes).
+
+Verified against ``np.fft`` in tests (interpret mode) and against the
+jnp overlap-save path on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+#: Scoped VMEM budget per program; the fused filter keeps ~14 planes of
+#: (R·nfft) float32 live, plus Mosaic matmul temporaries.
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+_PLANES = 14
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+def factor_nfft(nfft: int) -> tuple[int, int]:
+    """Split ``nfft = N1 × N2`` with N2 = lane width (or all of nfft)."""
+    if nfft < 2 or nfft & (nfft - 1):
+        raise ValueError(f"nfft={nfft} must be a power of two >= 2")
+    n2 = min(LANE, nfft)
+    n1 = nfft // n2
+    if n1 > LANE:
+        raise ValueError(f"nfft={nfft} > {LANE * LANE} is unsupported")
+    return n1, n2
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_tables(nfft: int) -> dict[str, np.ndarray]:
+    """Real/imag DFT factor matrices + twiddles for the 4-step split.
+
+    Forward kernel uses (f1, t, f2); inverse uses their conjugates
+    (g1, tc, g2) with the 1/nfft scale folded into g1.
+    """
+    n1, n2 = factor_nfft(nfft)
+    k1 = np.arange(n1, dtype=np.float64)
+    j2 = np.arange(n2, dtype=np.float64)
+    f1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1)  # [k1, n1]
+    t = np.exp(-2j * np.pi * np.outer(k1, j2) / nfft)  # [k1, n2]
+    f2 = np.exp(-2j * np.pi * np.outer(j2, j2) / n2)  # [n2, k2]
+    g1 = f1.conj() / nfft  # [n1, k1], scaled
+    g2 = f2.conj()  # [k2, n2]
+    if n1 == 1:
+        # Degenerate single-factor split: the inverse skips the g1
+        # matmul, so the 1/nfft scale must ride on g2 instead.
+        g2 = g2 / nfft
+    out = {}
+    for name, mat in (("f1", f1), ("t", t), ("f2", f2), ("g1", g1),
+                      ("g2", g2)):
+        out[name + "c"] = np.ascontiguousarray(mat.real, np.float32)
+        out[name + "s"] = np.ascontiguousarray(mat.imag, np.float32)
+    return out
+
+
+def _auto_block_rows(nfft: int, batch: int) -> int:
+    rows = VMEM_BUDGET_BYTES // (_PLANES * 4 * nfft)
+    rows = max(8, (rows // 8) * 8)
+    return int(min(rows, _round_up(max(batch, 1), 8)))
+
+
+#: DFT matmuls need better-than-bf16 precision: the MXU's default single
+#: bf16 pass costs ~3e-3 relative error on a 512-point transform
+#: (measured), which blows the overlap-save SNR contract.  HIGHEST
+#: restores ~1e-7.  (Precision.HIGH is not implemented by Mosaic.)
+_dot = functools.partial(
+    jnp.dot,
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+)
+
+#: Outer DFT factors with N1 ≤ this run on the VPU as unrolled
+#: scalar-broadcast FMAs: an (N1, N1) @ (N1, C) matmul with N1 ≈ 4 pads
+#: to the MXU's 128×128 tile and wastes ~99% of the array, while the VPU
+#: does the same work in N1 full-rate passes over the data.
+_VPU_DFT_MAX = 8
+
+
+def _cmatmul(ar, ai, br, bi):
+    """(ar + i·ai) @ (br + i·bi) with f32 MXU matmuls."""
+    return _dot(ar, br) - _dot(ai, bi), _dot(ar, bi) + _dot(ai, br)
+
+
+def _small_dft_rows(fc_ref, fs_ref, xr, xi, n1: int, real_out: bool = False):
+    """(fc + i·fs) @ (xr + i·xi) unrolled on the VPU for tiny N1.
+
+    Operands are (N1, C) planes; the N1×N1 factor matrix is read as
+    scalars and broadcast-multiplied row-wise — N1 full-rate VPU passes
+    instead of a 97%-padded MXU matmul.
+    """
+    rows_r, rows_i = [], []
+    for k in range(n1):
+        acc_r = fc_ref[k, 0] * xr[0:1]
+        acc_i = fs_ref[k, 0] * xr[0:1]
+        if xi is not None:
+            acc_r = acc_r - fs_ref[k, 0] * xi[0:1]
+            acc_i = acc_i + fc_ref[k, 0] * xi[0:1]
+        for j in range(1, n1):
+            c, s = fc_ref[k, j], fs_ref[k, j]
+            acc_r = acc_r + c * xr[j : j + 1]
+            acc_i = acc_i + s * xr[j : j + 1]
+            if xi is not None:
+                acc_r = acc_r - s * xi[j : j + 1]
+                acc_i = acc_i + c * xi[j : j + 1]
+        rows_r.append(acc_r)
+        if not real_out:
+            rows_i.append(acc_i)
+    out_r = jnp.concatenate(rows_r, axis=0)
+    if real_out:
+        return out_r, None
+    return out_r, jnp.concatenate(rows_i, axis=0)
+
+
+def _to_m_layout(x, n1: int, n2: int):
+    """(B, nfft) → (N1, B·N2) m-layout plane (XLA-side transpose)."""
+    b = x.shape[0]
+    return x.reshape(b, n1, n2).transpose(1, 0, 2).reshape(n1, b * n2)
+
+
+def _from_m_layout(xm, n1: int, n2: int):
+    """(N1, B·N2) natural m-layout plane → (B, nfft)."""
+    b = xm.shape[1] // n2
+    return xm.reshape(n1, b, n2).transpose(1, 0, 2).reshape(b, n1 * n2)
+
+
+def _unscramble(xm, n1: int, n2: int):
+    """(N1, B·N2) scrambled spectrum [k1, (b,k2)] → natural (B, nfft)."""
+    b = xm.shape[1] // n2
+    return xm.reshape(n1, b, n2).transpose(1, 2, 0).reshape(b, n1 * n2)
+
+
+def _scramble(x, n1: int, n2: int):
+    """Natural (B, nfft) spectrum → (N1, B·N2) scrambled m-layout."""
+    b = x.shape[0]
+    return x.reshape(b, n2, n1).transpose(2, 0, 1).reshape(n1, b * n2)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _nat_to_m(x, n1: int, rows: int, n2: int):
+    """In-kernel (R, nfft) natural block → (N1, R·N2) m-layout.
+
+    A sublane-dimension transpose of ~1 MB in VMEM — this replaces the
+    HBM-level transpose the host otherwise pays (measured ~10 ms per
+    apply on config-4 shapes vs ~0 in-kernel).
+    """
+    return x.reshape(rows, n1, n2).transpose(1, 0, 2).reshape(n1, rows * n2)
+
+
+def _m_to_nat(xm, n1: int, rows: int, n2: int):
+    """In-kernel (N1, R·N2) m-layout → (R, nfft) natural block."""
+    return xm.reshape(n1, rows, n2).transpose(1, 0, 2).reshape(rows, n1 * n2)
+
+
+def _fwd_stage(xr, xi, f1c_ref, f1s_ref, tc_ref, ts_ref, f2c_ref, f2s_ref,
+               n1: int, block_rows: int, n2: int):
+    """Forward 4-step DFT from m-layout (re, im) to scrambled spectrum.
+
+    xi may be None (real input).  Returns (cr, ci) of shape (N1·R, N2).
+    """
+    if n1 > 1:
+        if n1 <= _VPU_DFT_MAX:
+            ar, ai = _small_dft_rows(f1c_ref, f1s_ref, xr, xi, n1)
+        elif xi is None:
+            ar, ai = _dot(f1c_ref[:], xr), _dot(f1s_ref[:], xr)
+        else:
+            ar, ai = _cmatmul(f1c_ref[:], f1s_ref[:], xr, xi)
+        ar = ar.reshape(n1 * block_rows, n2)
+        ai = ai.reshape(n1 * block_rows, n2)
+        tc = jnp.repeat(tc_ref[:], block_rows, axis=0)
+        ts = jnp.repeat(ts_ref[:], block_rows, axis=0)
+        br = ar * tc - ai * ts
+        bi = ar * ts + ai * tc
+    else:  # nfft <= 128: single-factor DFT, twiddles are all ones
+        br = xr.reshape(block_rows, n2)
+        bi = None if xi is None else xi.reshape(block_rows, n2)
+    if bi is None:
+        return _dot(br, f2c_ref[:]), _dot(br, f2s_ref[:])
+    return _cmatmul(br, bi, f2c_ref[:], f2s_ref[:])
+
+
+def _inv_stage(cr, ci, tc_ref, ts_ref, g1c_ref, g1s_ref, g2c_ref, g2s_ref,
+               n1: int, block_rows: int, n2: int, real_out: bool):
+    """Inverse 4-step DFT from scrambled spectrum back to m-layout."""
+    er, ei = _cmatmul(cr, ci, g2c_ref[:], g2s_ref[:])
+    if n1 == 1:
+        out_r = er.reshape(1, block_rows * n2)
+        out_i = ei.reshape(1, block_rows * n2)
+        return (out_r, None) if real_out else (out_r, out_i)
+    tc = jnp.repeat(tc_ref[:], block_rows, axis=0)
+    ts = jnp.repeat(ts_ref[:], block_rows, axis=0)
+    fr = er * tc + ei * ts  # multiply by conj(t)
+    fi = ei * tc - er * ts
+    fr = fr.reshape(n1, block_rows * n2)
+    fi = fi.reshape(n1, block_rows * n2)
+    if n1 <= _VPU_DFT_MAX:
+        return _small_dft_rows(g1c_ref, g1s_ref, fr, fi, n1,
+                               real_out=real_out)
+    if real_out:
+        return _dot(g1c_ref[:], fr) - _dot(g1s_ref[:], fi), None
+    return _cmatmul(g1c_ref[:], g1s_ref[:], fr, fi)
+
+
+def _fft_kernel(f1c, f1s, tc, ts, f2c, f2s, xr_ref, xi_ref, or_ref, oi_ref,
+                *, n1, n2, block_rows):
+    xr = _nat_to_m(xr_ref[:], n1, block_rows, n2)
+    xi = None if xi_ref is None else _nat_to_m(xi_ref[:], n1, block_rows, n2)
+    cr, ci = _fwd_stage(xr, xi, f1c, f1s, tc, ts, f2c, f2s,
+                        n1, block_rows, n2)
+    # Emit in m-layout with (b, k2) columns: (N1·R, N2) → (N1, R·N2) is
+    # row-major compatible (rows were (k1, b)).
+    or_ref[:] = cr.reshape(n1, block_rows * n2)
+    oi_ref[:] = ci.reshape(n1, block_rows * n2)
+
+
+def _fft_kernel_real(f1c, f1s, tc, ts, f2c, f2s, xr_ref, or_ref, oi_ref,
+                     *, n1, n2, block_rows):
+    _fft_kernel(f1c, f1s, tc, ts, f2c, f2s, xr_ref, None, or_ref, oi_ref,
+                n1=n1, n2=n2, block_rows=block_rows)
+
+
+def _ifft_kernel(g1c, g1s, tc, ts, g2c, g2s, xr_ref, xi_ref, or_ref, oi_ref,
+                 *, n1, n2, block_rows):
+    # Input arrives scrambled ((N1, R·N2) with (b, k2) columns); the
+    # inverse stage wants (N1·R, N2) rows (k1, b) — compatible reshape.
+    cr = xr_ref[:].reshape(n1 * block_rows, n2)
+    ci = xi_ref[:].reshape(n1 * block_rows, n2)
+    or_, oi_ = _inv_stage(cr, ci, tc, ts, g1c, g1s, g2c, g2s,
+                          n1, block_rows, n2, real_out=False)
+    or_ref[:] = _m_to_nat(or_, n1, block_rows, n2)
+    oi_ref[:] = _m_to_nat(oi_, n1, block_rows, n2)
+
+
+def _osfilt_kernel(f1c, f1s, tc, ts, f2c, f2s, hc, hs, g1c, g1s, g2c, g2s,
+                   seg_ref, o_ref, *, n1, n2, block_rows, out_u8):
+    """Fused: real forward FFT → spectrum × H → inverse FFT → real out.
+
+    Segments may arrive uint8 (widened to f32 in VMEM — 4× less HBM read
+    traffic than pre-widened floats).  With ``out_u8`` the hardware
+    output stage (round-half-up, saturate to [0, 255]) is fused too, so
+    the block never leaves the chip as a float.
+    """
+    seg = seg_ref[:]
+    if seg.dtype != jnp.float32:
+        # Mosaic has no direct u8→f32 cast; widen via int32.
+        seg = seg.astype(jnp.int32).astype(jnp.float32)
+    seg_m = _nat_to_m(seg, n1, block_rows, n2)
+    cr, ci = _fwd_stage(seg_m, None, f1c, f1s, tc, ts, f2c, f2s,
+                        n1, block_rows, n2)
+    hcr = jnp.repeat(hc[:], block_rows, axis=0)
+    hsr = jnp.repeat(hs[:], block_rows, axis=0)
+    dr = cr * hcr - ci * hsr
+    di = cr * hsr + ci * hcr
+    or_, _ = _inv_stage(dr, di, tc, ts, g1c, g1s, g2c, g2s,
+                        n1, block_rows, n2, real_out=True)
+    y = _m_to_nat(or_, n1, block_rows, n2)
+    if out_u8:
+        y = jnp.clip(jnp.floor(y + 0.5), 0, 255)
+        y = y.astype(jnp.int32).astype(jnp.uint8)  # no direct f32→u8 cast
+    o_ref[:] = y
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers
+# ---------------------------------------------------------------------------
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _plane_specs(n1: int, shapes: list[tuple[int, int]]):
+    """Constant-block specs for the DFT table operands."""
+    return [
+        pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for shape in shapes
+    ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nfft", "inverse", "real_input", "block_rows",
+                     "interpret"),
+)
+def _fft_m_layout(xr_m, xi_m, tables, nfft, inverse, real_input, block_rows,
+                  interpret):
+    n1, n2 = factor_nfft(nfft)
+    # Forward input is natural (B_pad, nfft); inverse input is a
+    # scrambled m-layout plane (N1, B_pad·N2).
+    if inverse:
+        batch_rows = xr_m.shape[1] // n2
+    else:
+        batch_rows = xr_m.shape[0]
+    cols = batch_rows * n2
+    grid = (batch_rows // block_rows,)
+    if inverse:
+        mats = [tables[k] for k in ("g1c", "g1s", "tc", "ts", "g2c", "g2s")]
+        kernel = functools.partial(_ifft_kernel, n1=n1, n2=n2,
+                                   block_rows=block_rows)
+    elif real_input:
+        mats = [tables[k] for k in ("f1c", "f1s", "tc", "ts", "f2c", "f2s")]
+        kernel = functools.partial(_fft_kernel_real, n1=n1, n2=n2,
+                                   block_rows=block_rows)
+    else:
+        mats = [tables[k] for k in ("f1c", "f1s", "tc", "ts", "f2c", "f2s")]
+        kernel = functools.partial(_fft_kernel, n1=n1, n2=n2,
+                                   block_rows=block_rows)
+    m_spec = pl.BlockSpec((n1, block_rows * n2), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    nat_spec = pl.BlockSpec((block_rows, nfft), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    m_shape = jax.ShapeDtypeStruct((n1, cols), jnp.float32)
+    nat_shape = jax.ShapeDtypeStruct((batch_rows, nfft), jnp.float32)
+    num_data = 1 if (real_input and not inverse) else 2
+    data = (xr_m,) if num_data == 1 else (xr_m, xi_m)
+    if inverse:
+        in_spec, out_spec, out_shape = m_spec, nat_spec, nat_shape
+    else:
+        # Forward input is natural (B, nfft); output stays in scrambled
+        # m-layout (host unscrambles to natural spectral order).
+        in_spec, out_spec, out_shape = nat_spec, m_spec, m_shape
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_plane_specs(n1, [m.shape for m in mats])
+        + [in_spec] * num_data,
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(*mats, *data)
+
+
+def fft_rows_pallas(
+    xr,
+    xi=None,
+    *,
+    inverse: bool = False,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched complex FFT over rows via MXU matmuls.
+
+    Args:
+      xr, xi: real/imaginary planes of shape (B, nfft); ``xi=None`` means
+        real input (forward only — an inverse needs a full spectrum).
+      inverse: compute the scaled inverse transform (1/nfft folded in).
+
+    Returns ``(re, im)`` planes of shape (B, nfft), natural order —
+    matching ``jnp.fft.fft`` / ``jnp.fft.ifft`` up to float32 rounding.
+    """
+    xr = jnp.asarray(xr, jnp.float32)
+    batch, nfft = xr.shape
+    n1, n2 = factor_nfft(nfft)
+    if inverse and xi is None:
+        raise ValueError("inverse FFT requires both re and im planes")
+    interpret = _use_interpret() if interpret is None else interpret
+    block_rows = _auto_block_rows(nfft, batch)
+    b_pad = _round_up(max(batch, 1), block_rows)
+
+    pad = ((0, b_pad - batch), (0, 0))
+    xr_p = jnp.pad(xr, pad)
+    xi_p = None if xi is None else jnp.pad(jnp.asarray(xi, jnp.float32), pad)
+
+    tables = {
+        k: jnp.asarray(v) for k, v in _dft_tables(nfft).items()
+    }
+    if inverse:
+        xr_in = _scramble(xr_p, n1, n2)
+        xi_in = _scramble(xi_p, n1, n2)
+    else:
+        xr_in, xi_in = xr_p, xi_p  # natural layout, transposed in-kernel
+    out_a, out_b = _fft_m_layout(
+        xr_in, xi_in, tables, nfft, inverse, xi is None, block_rows,
+        interpret
+    )
+    if inverse:
+        return out_a[:batch], out_b[:batch]  # kernel emits natural layout
+    return _unscramble(out_a, n1, n2)[:batch], _unscramble(out_b, n1, n2)[:batch]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nfft", "block_rows", "interpret", "out_u8")
+)
+def _osfilt_natural(segments, hc, hs, tables, nfft, block_rows, interpret,
+                    out_u8=False):
+    """Fused overlap-save filter over natural (B_pad, nfft) segments."""
+    n1, n2 = factor_nfft(nfft)
+    b_pad = segments.shape[0]
+    grid = (b_pad // block_rows,)
+    mats = [tables[k] for k in ("f1c", "f1s", "tc", "ts", "f2c", "f2s")]
+    mats += [hc, hs]
+    mats += [tables[k] for k in ("g1c", "g1s", "g2c", "g2s")]
+    kernel = functools.partial(_osfilt_kernel, n1=n1, n2=n2,
+                               block_rows=block_rows, out_u8=out_u8)
+    data_spec = pl.BlockSpec((block_rows, nfft), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_dtype = jnp.uint8 if out_u8 else jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_plane_specs(n1, [m.shape for m in mats]) + [data_spec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, nfft), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(*mats, segments)
+
+
+def _osfilt_segments(x, num_taps: int, nfft: int):
+    """Frame a (C, T) stream into padded overlap-save segments.
+
+    Keeps the input dtype (uint8 frames move 4× less HBM traffic than
+    pre-widened floats; the kernel widens in VMEM).
+    """
+    from warmup_fir_filter_tpu.ops.fftfilt import frame_overlap
+
+    channels, time = x.shape
+    center = num_taps // 2
+    step = nfft - (num_taps - 1)
+    num_blocks = -(-time // step)
+    left = num_taps - 1 - center
+    right = num_blocks * step - time + center + (num_taps - 1)
+    xp = jnp.pad(x, ((0, 0), (left, right)))
+    segments = frame_overlap(xp, nfft, step, num_blocks).reshape(
+        channels * num_blocks, nfft
+    )
+    batch = channels * num_blocks
+    block_rows = _auto_block_rows(nfft, batch)
+    b_pad = _round_up(batch, block_rows)
+    segments = jnp.pad(segments, ((0, b_pad - batch), (0, 0)))
+    return segments, batch, block_rows, step, num_blocks
+
+
+def _osfilt_spectrum(h64, nfft: int):
+    """Filter spectrum permuted to the kernel's scrambled (k1, k2) order."""
+    n1, n2 = factor_nfft(nfft)
+    h_freq = np.fft.fft(h64, nfft)
+    hp = np.ascontiguousarray(h_freq.reshape(n2, n1).T)
+    return (jnp.asarray(hp.real, jnp.float32),
+            jnp.asarray(hp.imag, jnp.float32))
+
+
+def fir_overlap_save_pallas(
+    x,
+    h,
+    *,
+    nfft: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Float32 same-mode FIR via the fused Pallas overlap-save kernel.
+
+    Drop-in equivalent of :func:`ops.fftfilt.fir_overlap_save` (same
+    alignment contract, ``ops/fftfilt.py``), with the whole
+    FFT → multiply → IFFT block pipeline fused into one VMEM-resident
+    Pallas kernel.
+    """
+    from warmup_fir_filter_tpu.ops.fftfilt import pick_nfft
+
+    h64 = np.asarray(h, np.float64)
+    num_taps = int(h64.size)
+    nfft = pick_nfft(num_taps) if nfft is None else nfft
+    if nfft < num_taps:
+        raise ValueError(f"nfft={nfft} must be >= num_taps={num_taps}")
+    n1, n2 = factor_nfft(nfft)
+    interpret = _use_interpret() if interpret is None else interpret
+
+    x_f32 = jnp.asarray(x, jnp.float32)
+    channels, time = x_f32.shape
+    segments, batch, block_rows, step, num_blocks = _osfilt_segments(
+        x_f32, num_taps, nfft
+    )
+    hc, hs = _osfilt_spectrum(h64, nfft)
+    tables = {k: jnp.asarray(v) for k, v in _dft_tables(nfft).items()}
+    y = _osfilt_natural(segments, hc, hs, tables, nfft, block_rows,
+                        interpret)[:batch]
+
+    valid = y[:, num_taps - 1:]  # overlap-save discard
+    out = valid.reshape(channels, num_blocks * step)
+    return out[:, :time]
+
+
+def fir_overlap_save_quantized_pallas(x_u8, h, qformat=None, *,
+                                      nfft: int | None = None,
+                                      interpret: bool | None = None):
+    """Fused Pallas FFT path + hardware output stage → uint8.
+
+    Mirrors :func:`ops.fftfilt.fir_overlap_save_quantized`: quantized
+    coefficients, round-half-up, saturate — comparable to the bit-exact
+    sim within the SNR bound.
+    """
+    from warmup_fir_filter_tpu.ops.fftfilt import pick_nfft
+    from warmup_fir_filter_tpu.ops.qformat import QFormat
+
+    qformat = QFormat() if qformat is None else qformat
+    h_fixed = qformat.quantize_coeffs(np.asarray(h)).astype(np.float64)
+    h_real = h_fixed / qformat.scale
+
+    num_taps = int(h_real.size)
+    nfft = pick_nfft(num_taps) if nfft is None else nfft
+    if nfft < num_taps:
+        raise ValueError(f"nfft={nfft} must be >= num_taps={num_taps}")
+    interpret = _use_interpret() if interpret is None else interpret
+
+    # End-to-end uint8: frames stay u8 into the kernel (widened in VMEM)
+    # and the round-half-up/saturate output stage is fused in-kernel, so
+    # no float plane ever touches HBM.
+    x_u8 = jnp.asarray(x_u8, jnp.uint8)
+    channels, time = x_u8.shape
+    segments, batch, block_rows, step, num_blocks = _osfilt_segments(
+        x_u8, num_taps, nfft
+    )
+    hc, hs = _osfilt_spectrum(h_real, nfft)
+    tables = {k: jnp.asarray(v) for k, v in _dft_tables(nfft).items()}
+    y = _osfilt_natural(segments, hc, hs, tables, nfft, block_rows,
+                        interpret, out_u8=True)[:batch]
+    valid = y[:, num_taps - 1:]
+    out = valid.reshape(channels, num_blocks * step)
+    return out[:, :time]
