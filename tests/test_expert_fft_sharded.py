@@ -92,3 +92,26 @@ class TestShardedOverlapSave:
             fir_overlap_save_sharded(
                 np.zeros((2, 101), np.uint8), np.ones(5) * 0.1, mesh=mesh
             )
+
+    def test_pallas_backend_matches_jnp_backend(self, rng):
+        mesh = make_mesh({"data": 2, "time": 4}, devices=jax.devices()[:8])
+        h = rng.uniform(-0.1, 0.1, 63)
+        x = rng.integers(0, 256, size=(4, 4 * 2048), dtype=np.uint8)
+        ref = np.asarray(
+            fir_overlap_save_sharded(x, h, mesh=mesh, backend="jnp"),
+            np.float64,
+        )
+        got = np.asarray(
+            fir_overlap_save_sharded(x, h, mesh=mesh, backend="pallas"),
+            np.float64,
+        )
+        np.testing.assert_allclose(got, ref, atol=5e-2)
+        assert snr_db(ref, got) > 80.0
+
+    def test_unknown_backend_rejected(self, rng):
+        mesh = make_mesh({"data": 1, "time": 4}, devices=jax.devices()[:4])
+        with pytest.raises(ValueError, match="backend"):
+            fir_overlap_save_sharded(
+                np.zeros((2, 400), np.uint8), np.ones(5) * 0.1,
+                mesh=mesh, backend="cuda",
+            )

@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from warmup_fir_filter_tpu.ops.fftfilt import pick_nfft
+from warmup_fir_filter_tpu.ops.fftfilt import frame_overlap, pick_nfft
 from warmup_fir_filter_tpu.parallel.halo import exchange_halo_1d
 
 
@@ -32,8 +32,16 @@ def fir_overlap_save_sharded(
     time_axis: str = "time",
     channel_axis: str = "data",
     nfft: int | None = None,
+    backend: str = "jnp",
 ) -> jax.Array:
-    """Float32 same-mode FIR via FFT overlap-save, (C, T) sharded C×T."""
+    """Float32 same-mode FIR via FFT overlap-save, (C, T) sharded C×T.
+
+    ``backend="pallas"`` runs each shard's local overlap-save through the
+    fused matmul-FFT kernel (``kernels/fft_pallas.py``) instead of
+    ``jnp.fft`` — same sharding, same halo exchange, same result.
+    """
+    if backend not in ("jnp", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
     h64 = np.asarray(h, np.float64)
     num_taps = int(h64.size)
     nfft = pick_nfft(num_taps) if nfft is None else nfft
@@ -55,16 +63,50 @@ def fir_overlap_save_sharded(
     step = nfft - (num_taps - 1)
     num_blocks = -(-local_time // step)
 
+    if backend == "pallas":
+        from warmup_fir_filter_tpu.kernels.fft_pallas import (
+            _auto_block_rows,
+            _dft_tables,
+            _osfilt_natural,
+            _osfilt_spectrum,
+            _round_up,
+            _use_interpret,
+        )
+
+        # The filter spectrum and DFT tables are real planes (no complex
+        # transfer), replicated across the mesh.
+        hc, hs = _osfilt_spectrum(h64, nfft)
+        tables = {k: jnp.asarray(v) for k, v in _dft_tables(nfft).items()}
+        interpret = _use_interpret()
+
+    def _local_filter(segments, h_f32):
+        """(C_loc, B, nfft) frames → (C_loc, B, step) filtered blocks."""
+        if backend == "jnp":
+            # Complex host→device transfers are not supported on some
+            # backends; build the filter spectrum in-graph from real taps.
+            h_freq = jnp.fft.rfft(h_f32, n=nfft)
+            spec = jnp.fft.rfft(segments, axis=-1)
+            y = jnp.fft.irfft(spec * h_freq, n=nfft, axis=-1)
+            return y[:, :, num_taps - 1 :]
+        c_loc, blocks = segments.shape[0], segments.shape[1]
+        flat = segments.reshape(c_loc * blocks, nfft)
+        rows = _auto_block_rows(nfft, flat.shape[0])
+        b_pad = _round_up(flat.shape[0], rows)
+        flat = jnp.pad(flat, ((0, b_pad - flat.shape[0]), (0, 0)))
+        y = _osfilt_natural(flat, hc, hs, tables, nfft, rows, interpret)
+        y = y[: c_loc * blocks, num_taps - 1 :]
+        return y.reshape(c_loc, blocks, step)
+
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(channel_axis, time_axis), P()),
         out_specs=P(channel_axis, time_axis),
+        # pallas_call emits ShapeDtypeStructs without varying-mesh-axes
+        # metadata; vma checking would reject the kernel-backed body.
+        check_vma=False,
     )
     def _step(x_loc, h_f32):
-        # Complex host→device transfers are not supported on some
-        # backends; build the filter spectrum in-graph from real taps.
-        h_freq = jnp.fft.rfft(h_f32, n=nfft)
         # Halo exchange gives each shard the same neighborhood it would
         # see inside the global zero-padded stream.
         x_ext = exchange_halo_1d(
@@ -79,12 +121,8 @@ def fir_overlap_save_sharded(
         # = num_blocks·step + (L-1) in extended coordinates.
         pad_right = num_blocks * step + (num_taps - 1) - x_ext.shape[1]
         xp = jnp.pad(x_ext, ((0, 0), (0, max(0, pad_right))))
-        starts = jnp.arange(num_blocks) * step
-        idx = starts[:, None] + jnp.arange(nfft)[None, :]
-        segments = xp[:, idx]
-        spec = jnp.fft.rfft(segments, axis=-1)
-        y_blocks = jnp.fft.irfft(spec * h_freq, n=nfft, axis=-1)
-        valid = y_blocks[:, :, num_taps - 1 :]
+        segments = frame_overlap(xp, nfft, step, num_blocks)
+        valid = _local_filter(segments, h_f32)
         out = valid.reshape(x_loc.shape[0], num_blocks * step)
         return out[:, :local_time]
 
