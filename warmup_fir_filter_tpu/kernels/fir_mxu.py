@@ -139,48 +139,48 @@ def _fir_mxu_kernel(
     x_body = _rebias(body_ref[:])   # (BR, C·128)
     x_tail = _rebias(tail_ref[:])   # (BR, 128)
     block_rows = x_body.shape[0]
-    flat = (block_rows * col_tiles, LANE)
 
-    # Flatten the per-tile loop into two big matmuls per digit:
-    #   s0[b·C + t, :] = x[b, t·128 : (t+1)·128]        (@ A0 plane)
-    #   s1[b·C + t, :] = x[b, (t+1)·128 : (t+2)·128]    (@ A1 plane)
-    # M = BR·C keeps the MXU pipeline full instead of C small matmuls.
-    s0 = x_body.reshape(flat)
-    if col_tiles > 1:
-        s1 = jnp.concatenate([x_body[:, LANE:], x_tail], axis=1).reshape(flat)
-    else:
-        s1 = x_tail.reshape(flat)
-    # Split each digit's band product into one full K=128 pass over the
-    # aligned tile plus a tiny K=spill corner pass over the next tile's
-    # first samples — the corner rows of A are the only nonzero spill.
-    acc = jnp.full(flat, bias, jnp.int32)
-    corner = s1[:, :spill]
-    for plane, b in enumerate(exponents):
-        prod = jnp.dot(s0, a_ref[plane, :LANE, :],
-                       preferred_element_type=jnp.int32)
-        prod = prod + jnp.dot(corner, a_ref[plane, LANE:, :],
-                              preferred_element_type=jnp.int32)
-        acc = acc + (prod << (8 * b) if b else prod)
+    # Per-tile matmuls on lane-aligned *views* of the body block.  An
+    # earlier formulation flattened (BR, C·128) → (BR·C, 128) for two big
+    # matmuls per digit; that reshape (and the matching concat for the
+    # shifted operand and the output reshape) each cost a full VMEM
+    # relayout pass — measured ~13% of kernel time.  Lane-tile slices
+    # cost nothing, and M = BR = 512 rows still fills the MXU pipeline.
+    for t in range(col_tiles):
+        xt = x_body[:, t * LANE : (t + 1) * LANE]
+        # The band's spill reads the first `spill` samples of tile t+1
+        # (the separate tail operand supplies it for the last tile).
+        if t + 1 < col_tiles:
+            corner = x_body[:, (t + 1) * LANE : (t + 1) * LANE + spill]
+        else:
+            corner = x_tail[:, :spill]
+        acc = jnp.full((block_rows, LANE), bias, jnp.int32)
+        for plane, b in enumerate(exponents):
+            prod = jnp.dot(xt, a_ref[plane, :LANE, :],
+                           preferred_element_type=jnp.int32)
+            prod = prod + jnp.dot(corner, a_ref[plane, LANE:, :],
+                                  preferred_element_type=jnp.int32)
+            acc = acc + (prod << (8 * b) if b else prod)
 
-    if needs_wrap:
-        # Exact-wraparound path: reduce mod 2^acc_bits + sign-extend,
-        # then the overflow-free bias-round-shift decomposition.
-        if acc_bits < 32:
-            shift = 32 - acc_bits
-            acc = (acc << shift) >> shift
-        low = acc & ((1 << frac_bits) - 1)
-        carry = (low + (1 << (frac_bits - 1))) >> frac_bits
-        final = (acc >> frac_bits) + carry
-    else:
-        # Provably-no-wrap fast path (host checked 255·Σ|h_fixed| + bias
-        # headroom < 2^(acc_bits-1)): the rounding bias 2^(fb-1) is
-        # folded into the SMEM bias constant, so the epilogue is one
-        # arithmetic shift + clip.
-        final = acc >> frac_bits
+        if needs_wrap:
+            # Exact-wraparound path: reduce mod 2^acc_bits + sign-extend,
+            # then the overflow-free bias-round-shift decomposition.
+            if acc_bits < 32:
+                shift = 32 - acc_bits
+                acc = (acc << shift) >> shift
+            low = acc & ((1 << frac_bits) - 1)
+            carry = (low + (1 << (frac_bits - 1))) >> frac_bits
+            final = (acc >> frac_bits) + carry
+        else:
+            # Provably-no-wrap fast path (host checked 255·Σ|h_fixed| +
+            # bias headroom < 2^(acc_bits-1)): the rounding bias 2^(fb-1)
+            # is folded into the SMEM bias constant, so the epilogue is
+            # one arithmetic shift + clip.
+            final = acc >> frac_bits
 
-    o_ref[:] = jnp.clip(final, 0, 255).astype(jnp.uint8).reshape(
-        block_rows, col_tiles * LANE
-    )
+        o_ref[:, t * LANE : (t + 1) * LANE] = (
+            jnp.clip(final, 0, 255).astype(jnp.uint8)
+        )
 
 
 @functools.partial(
