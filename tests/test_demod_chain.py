@@ -84,3 +84,33 @@ class TestChain:
         with pytest.raises(ValueError, match="divisible"):
             chain_forward_sharded(np.ones((3, 600)), np.ones((3, 600)),
                                   mesh=mesh)
+
+
+def test_chain_pallas_channelizer_matches_jnp(rng):
+    from warmup_fir_filter_tpu.models.chain import ChainConfig, chain_forward
+
+    t = np.arange(30_000)
+    re = np.stack([np.cos(2 * np.pi * 0.01 * t), np.sin(2 * np.pi * 0.007 * t)])
+    im = np.stack([np.sin(2 * np.pi * 0.01 * t), np.cos(2 * np.pi * 0.007 * t)])
+    ref = np.asarray(
+        chain_forward(re, im, ChainConfig(channelizer_backend="jnp")),
+        np.float64,
+    )
+    got = np.asarray(
+        chain_forward(re, im, ChainConfig(channelizer_backend="pallas")),
+        np.float64,
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_chain_unknown_channelizer_backend_rejected(rng):
+    import pytest as _pytest
+
+    from warmup_fir_filter_tpu.models.chain import ChainConfig, chain_forward
+
+    with _pytest.raises(ValueError, match="channelizer_backend"):
+        chain_forward(
+            np.zeros((1, 4000), np.float32),
+            np.zeros((1, 4000), np.float32),
+            ChainConfig(channelizer_backend="cuda"),
+        )

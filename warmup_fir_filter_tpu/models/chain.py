@@ -33,6 +33,9 @@ class ChainConfig:
     channelizer_cutoff: float = 0.25
     demod_k_f: float = 0.05
     use_fft_channelizer: bool = True
+    #: "auto" → fused Pallas matmul-FFT kernel on TPU, jnp.fft elsewhere;
+    #: "jnp" / "pallas" force a backend.
+    channelizer_backend: str = "auto"
 
     def resample_filter(self) -> np.ndarray:
         cutoff = 0.9 / max(self.resample_up, self.resample_down)
@@ -52,8 +55,23 @@ def chain_forward(re, im, config: ChainConfig = ChainConfig()) -> jax.Array:
     im_rs = resample_poly(im, h_rs, config.resample_up, config.resample_down)
 
     if config.use_fft_channelizer:
-        re_ch = fir_overlap_save(re_rs, h_ch)
-        im_ch = fir_overlap_save(im_rs, h_ch)
+        backend = config.channelizer_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if backend == "pallas":
+            from warmup_fir_filter_tpu.kernels.fft_pallas import (
+                fir_overlap_save_pallas,
+            )
+
+            re_ch = fir_overlap_save_pallas(re_rs, h_ch)
+            im_ch = fir_overlap_save_pallas(im_rs, h_ch)
+        elif backend == "jnp":
+            re_ch = fir_overlap_save(re_rs, h_ch)
+            im_ch = fir_overlap_save(im_rs, h_ch)
+        else:
+            raise ValueError(
+                f"unknown channelizer_backend {config.channelizer_backend!r}"
+            )
     else:
         from warmup_fir_filter_tpu.ops.fir1d import fir1d_ideal_rows_jnp
 
