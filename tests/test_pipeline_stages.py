@@ -142,3 +142,18 @@ class TestOutputStages:
                 qformat=QFormat(coeff_bits=8, frac_bits=7),
                 coeff_map={"edge": FILTER_BANKS[3]["sharpen"]},
             )
+
+
+def test_fixed_backend_auto_dispatch(synthetic_rows):
+    """The auto backend must stay bit-exact across the MXU/Pallas split."""
+    import numpy as np
+
+    from warmup_fir_filter_tpu.kernels.dispatch import fir1d_fixed_rows_auto
+    from warmup_fir_filter_tpu.models.golden import fir1d_fixed_golden_rows
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, size=(4, 400), dtype=np.uint8)
+    for num_taps in (5, 63, 131):  # MXU band path, long band, Pallas path
+        h = rng.uniform(-0.02, 0.02, num_taps)
+        got = np.asarray(fir1d_fixed_rows_auto(x, h))
+        np.testing.assert_array_equal(got, fir1d_fixed_golden_rows(x, h))

@@ -4,7 +4,7 @@ Deterministic 5-stage verification workflow with the reference's flag
 surface (``pipeline_fir_1d.py:34-98,102-175``): input vectors → ideal
 outputs → fixed outputs → compare reports → image restore, with per-stage
 skips, tap selection, overwrite/strict flags, and top-k — plus the
-TPU-native extensions: ``--backend {tpu,pallas,golden}`` and the
+TPU-native extensions: ``--backend {auto,tpu,pallas,mxu,golden}`` and the
 ``--frac-bits/--acc-bits/--coeff-bits`` numeric format
 (``gen_fixed_output.py:174-191``).
 

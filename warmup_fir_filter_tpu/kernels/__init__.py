@@ -14,6 +14,7 @@ from warmup_fir_filter_tpu.kernels.fft_pallas import (
     fir_overlap_save_pallas,
     fir_overlap_save_quantized_pallas,
 )
+from warmup_fir_filter_tpu.kernels.dispatch import fir1d_fixed_rows_auto
 
 __all__ = [
     "fir1d_fixed_rows_pallas",
@@ -22,4 +23,5 @@ __all__ = [
     "fft_rows_pallas",
     "fir_overlap_save_pallas",
     "fir_overlap_save_quantized_pallas",
+    "fir1d_fixed_rows_auto",
 ]

@@ -1,0 +1,44 @@
+"""Backend auto-dispatch for the bit-exact fixed-point FIR.
+
+Measured single-chip throughput on the 5-tap Q4.12 headline workload
+(TPU v5e, see bench.py) and the 63-tap config-4 filter:
+
+================  ==========  ===========
+path              5-tap Gsps  63-tap Gsps
+================  ==========  ===========
+MXU band matmul       158         74
+Pallas VPU MAC         66          ~5
+jnp/XLA                28          ~3
+FFT overlap-save      ~3.2         3.2  (float path, not bit-exact)
+================  ==========  ===========
+
+The int8 MXU eats taps nearly for free (adding taps only adds band
+density and digit planes), so the direct MXU kernel beats the FFT path
+even at 63 taps by ~23× *and* stays bit-exact — the FFT path is the
+float *model* path and the only option beyond the MXU kernel's 129-tap
+band limit.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from warmup_fir_filter_tpu.kernels.fir_mxu import MAX_TAPS, fir1d_fixed_rows_mxu
+from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
+from warmup_fir_filter_tpu.ops.qformat import QFormat
+
+
+def fir1d_fixed_rows_auto(x_u8, h, qformat: QFormat = QFormat()) -> jax.Array:
+    """Bit-exact fixed FIR via the fastest available backend.
+
+    MXU band-matmul kernel when the tap count fits its band (L ≤ 129),
+    else the Pallas VPU kernel.  Both are bit-exact against the golden
+    contract for every tpu-native QFormat; callers needing acc_bits > 32
+    must use ``models.golden.fir1d_fixed_golden_rows``.
+    """
+    import numpy as np
+
+    num_taps = int(np.asarray(h).size)
+    if num_taps <= MAX_TAPS:
+        return fir1d_fixed_rows_mxu(x_u8, h, qformat)
+    return fir1d_fixed_rows_pallas(x_u8, h, qformat)

@@ -38,7 +38,7 @@ from warmup_fir_filter_tpu.pipeline.artifacts import (
 from warmup_fir_filter_tpu.utils import imageio
 from warmup_fir_filter_tpu.utils.logging import timed_entry_point
 
-FIXED_BACKENDS = ("tpu", "pallas", "mxu", "golden")
+FIXED_BACKENDS = ("auto", "tpu", "pallas", "mxu", "golden")
 
 
 def _preview_payload(gray_u8: np.ndarray, *, max_rows: int = 8,
@@ -158,6 +158,12 @@ def _fixed_compute(backend: str, x_u8: np.ndarray, h: np.ndarray,
                    qformat: QFormat) -> np.ndarray:
     if backend == "golden" or not qformat.tpu_native:
         return fir1d_fixed_golden_rows(x_u8, h, qformat)
+    if backend == "auto":
+        from warmup_fir_filter_tpu.kernels.dispatch import (
+            fir1d_fixed_rows_auto,
+        )
+
+        return np.asarray(fir1d_fixed_rows_auto(x_u8, h, qformat))
     if backend == "tpu":
         from warmup_fir_filter_tpu.ops.fir1d import fir1d_fixed_rows_jnp
 
