@@ -101,3 +101,41 @@ def test_mxu_wide_filter_63tap(rng):
         np.asarray(fir1d_fixed_rows_mxu(x, h, block_rows=8, col_tiles=2)),
         fir1d_fixed_golden_rows(x, h),
     )
+
+
+@pytest.mark.parametrize("num_taps", [129, 200, 257])
+def test_mxu_tri_tile_tap_range(rng, num_taps):
+    # The tri-tile band supports up to 257 taps (one full lane tile of
+    # halo each side); the two-tile formulation stopped at 129.
+    h = rng.uniform(-0.05, 0.05, num_taps)
+    x = rng.integers(0, 256, size=(2, 700), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(fir1d_fixed_rows_mxu(x, h, block_rows=8, col_tiles=2)),
+        fir1d_fixed_golden_rows(x, h),
+    )
+
+
+def test_mxu_tap_limit_rejected():
+    with pytest.raises(ValueError, match="supports up to"):
+        fir1d_fixed_rows_mxu(
+            np.zeros((2, 300), np.uint8), np.full(258, 1e-3)
+        )
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (9, 512),     # lane-aligned width (zero-copy), batch ∤ block_rows
+        (4, 4096),    # multi-tile aligned width
+        (5, 129),     # just past one lane tile (pad path)
+        (1, 16),      # tiny
+        (3, 128 * 7), # prime lane count → col_tiles=7 divisor rule
+    ],
+)
+def test_mxu_alignment_classes(rng, shape):
+    h = np.asarray(FILTER_BANKS[5]["edge"])
+    x = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(fir1d_fixed_rows_mxu(x, h)),
+        fir1d_fixed_golden_rows(x, h),
+    )
