@@ -1,7 +1,7 @@
 """Pallas matmul-FFT kernel tests: np.fft agreement + fused filter.
 
 Runs in interpret mode on the CPU mesh (conftest); the same code path
-compiles on TPU (exercised by bench_configs.py / bench_fft.py).
+compiles on TPU (exercised by bench_configs.py).
 """
 
 import numpy as np
@@ -135,4 +135,20 @@ class TestFusedOverlapSave:
         with pytest.raises(ValueError, match="nfft"):
             fir_overlap_save_pallas(
                 np.zeros((1, 10), np.uint8), np.ones(63), nfft=32
+            )
+
+    def test_nfft_over_kernel_cap_rejected(self):
+        # pick_nfft(num_taps > 2048) exceeds the 16384-point 4-step cap;
+        # the error must fire at dispatch, not inside factor_nfft.
+        with pytest.raises(ValueError, match="16384-point cap"):
+            fir_overlap_save_pallas(
+                np.zeros((1, 8), np.uint8), np.ones(3000)
+            )
+        with pytest.raises(ValueError, match="16384-point cap"):
+            fir_overlap_save_quantized_pallas(
+                np.zeros((1, 8), np.uint8), np.full(3000, 1e-4)
+            )
+        with pytest.raises(ValueError, match="16384-point cap"):
+            fir_overlap_save_pallas(
+                np.zeros((1, 8), np.uint8), np.ones(63), nfft=32768
             )

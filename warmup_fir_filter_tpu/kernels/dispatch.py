@@ -15,8 +15,8 @@ FFT overlap-save      ~3.2         3.2  (float path, not bit-exact)
 The int8 MXU eats taps nearly for free (adding taps only adds band
 density and digit planes), so the direct MXU kernel beats the FFT path
 even at 63 taps by ~23× *and* stays bit-exact — the FFT path is the
-float *model* path and the only option beyond the MXU kernel's 129-tap
-band limit.
+float *model* path and the only option beyond the MXU kernel's 257-tap
+tri-tile band limit.
 """
 
 from __future__ import annotations
@@ -31,8 +31,8 @@ from warmup_fir_filter_tpu.ops.qformat import QFormat
 def fir1d_fixed_rows_auto(x_u8, h, qformat: QFormat = QFormat()) -> jax.Array:
     """Bit-exact fixed FIR via the fastest available backend.
 
-    MXU band-matmul kernel when the tap count fits its band (L ≤ 129),
-    else the Pallas VPU kernel.  Both are bit-exact against the golden
+    MXU band-matmul kernel when the tap count fits its tri-tile band
+    (L ≤ 257 = ``fir_mxu.MAX_TAPS``), else the Pallas VPU kernel.  Both are bit-exact against the golden
     contract for every tpu-native QFormat; callers needing acc_bits > 32
     must use ``models.golden.fir1d_fixed_golden_rows``.
     """

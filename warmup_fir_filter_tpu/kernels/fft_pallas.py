@@ -61,6 +61,28 @@ LANE = 128
 #: (R·nfft) float32 live, plus Mosaic matmul temporaries.
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 _PLANES = 14
+#: Largest FFT the 4-step N1×N2 split supports (N1, N2 ≤ lane width).
+MAX_NFFT = LANE * LANE
+
+
+def _check_nfft_for_taps(nfft: int, num_taps: int) -> None:
+    """Reject out-of-range nfft at dispatch with an actionable error.
+
+    ``pick_nfft`` grows as next_pow2(8·L), so num_taps > 2048 would
+    request nfft > MAX_NFFT and die inside ``factor_nfft``; surface the
+    limit (and the fallback paths) here instead.
+    """
+    if nfft < num_taps:
+        raise ValueError(f"nfft={nfft} must be >= num_taps={num_taps}")
+    if nfft > MAX_NFFT:
+        raise ValueError(
+            f"nfft={nfft} exceeds the fused Pallas FFT kernel's "
+            f"{MAX_NFFT}-point cap (num_taps={num_taps}; the default "
+            f"pick_nfft exceeds the cap for num_taps > {MAX_NFFT // 8}). "
+            "Pass nfft<=16384 explicitly, or use ops.fftfilt."
+            "fir_overlap_save (XLA FFT) / kernels.dispatch."
+            "fir1d_fixed_rows_auto (direct MXU) instead."
+        )
 
 
 def _round_up(value: int, multiple: int) -> int:
@@ -518,8 +540,7 @@ def fir_overlap_save_pallas(
     h64 = np.asarray(h, np.float64)
     num_taps = int(h64.size)
     nfft = pick_nfft(num_taps) if nfft is None else nfft
-    if nfft < num_taps:
-        raise ValueError(f"nfft={nfft} must be >= num_taps={num_taps}")
+    _check_nfft_for_taps(nfft, num_taps)
     n1, n2 = factor_nfft(nfft)
     interpret = _use_interpret() if interpret is None else interpret
 
@@ -556,8 +577,7 @@ def fir_overlap_save_quantized_pallas(x_u8, h, qformat=None, *,
 
     num_taps = int(h_real.size)
     nfft = pick_nfft(num_taps) if nfft is None else nfft
-    if nfft < num_taps:
-        raise ValueError(f"nfft={nfft} must be >= num_taps={num_taps}")
+    _check_nfft_for_taps(nfft, num_taps)
     interpret = _use_interpret() if interpret is None else interpret
 
     # End-to-end uint8: frames stay u8 into the kernel (widened in VMEM)

@@ -43,10 +43,11 @@ Exactness on the int8 MXU is obtained by two exact encodings:
   padding stays exact because a padded 0 becomes ``x̃ = -128`` whose
   +128 bias restores the zero contribution.
 
-Each 128-lane output tile costs ``D`` K=384 int8 matmuls (D = digit
-count, 1 for the Q4.12 filter banks whose fixed coefficients are
-multiples of 256) = 384·D MACs/sample — far below the v5e MXU's
-~394 TOPS, leaving HBM bandwidth as the only wall.
+Each 128-lane output tile costs ``D`` int8 matmuls totalling
+``K = 128 + L - 1`` rows (132 for the 5-tap banks, up to 384 at the
+tri-tile L=257 limit; D = digit count, 1 for the Q4.12 filter banks
+whose fixed coefficients are multiples of 256) = K·D MACs/sample — far
+below the v5e MXU's ~394 TOPS, leaving HBM bandwidth as the only wall.
 """
 
 from __future__ import annotations
