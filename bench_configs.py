@@ -115,6 +115,10 @@ def config4_fft_sharded(results: dict, scale: int) -> None:
         fir_overlap_save_sharded(x, h, mesh=mesh, backend=backend),
         np.float64,
     )
+    if not np.all(np.isfinite(out)):
+        results["config4_fft63_sharded"] = {
+            "pass": False, "error": "non-finite output from FFT path"}
+        return
     ideal = fir1d_ideal_golden_rows(x, h)
     snr = snr_db(ideal, out)
     results["config4_fft63_sharded"] = {
@@ -130,6 +134,7 @@ def config5_full_chain(results: dict, scale: int) -> None:
     """Polyphase 2/3 resample + 63-tap channelizer + FM demod chain."""
     from warmup_fir_filter_tpu.models.chain import ChainConfig, chain_forward
     from warmup_fir_filter_tpu.ops.demod import fm_modulate
+    from warmup_fir_filter_tpu.utils.debugging import nan_guard
 
     cfg = ChainConfig()
     t = np.arange(max(200_000 // scale, 20_000))
@@ -138,7 +143,10 @@ def config5_full_chain(results: dict, scale: int) -> None:
         0.3 * np.sin(2 * np.pi * 0.0015 * t),
     ])
     re, im = fm_modulate(message, cfg.demod_k_f)
-    out = np.asarray(chain_forward(re, im, cfg), np.float64)
+    # nan_guard: the demod chain is the one float path with divisions /
+    # arctangents — fail at the producing op, not in the final corr.
+    with nan_guard():
+        out = np.asarray(chain_forward(re, im, cfg), np.float64)
     t_out = np.arange(out.shape[1]) * 1.5
     expected = 0.4 * np.cos(2 * np.pi * 0.001 * t_out)
     core = slice(300, -300)

@@ -90,6 +90,7 @@ def run_pipeline(
     if not skip_report:
         from warmup_fir_filter_tpu.pipeline.analysis import (
             generate_analysis_doc,
+            generate_comparison_doc,
         )
 
         for t in taps:
@@ -99,6 +100,11 @@ def run_pipeline(
             )
             report["analysis_md"] = str(generate_analysis_doc(store, tap=t))
             result["stages"][f"report_{t}tap"] = report
+        if len(taps) == 2:
+            stage_line(f"generate {taps[0]}tap-vs-{taps[1]}tap comparison")
+            result["comparison_md"] = str(
+                generate_comparison_doc(store, taps=taps)
+            )
 
     if not skip_restore:
         stage_line("restore images")
@@ -159,6 +165,10 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--strict-restore", action="store_true")
     parser.add_argument("--top-k", type=int, default=5,
                         help="Top-k worst cases in compare reports.")
+    parser.add_argument("--profile", type=Path, default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace of the whole "
+                             "pipeline into DIR (viewable in "
+                             "TensorBoard/XProf).")
     return parser
 
 
@@ -170,30 +180,39 @@ def main(argv=None) -> int:
         stage_line(f"synthesize corpus -> {args.image_dir}")
         synthesize_corpus(args.image_dir)
     start = time.perf_counter()
+    if args.profile is not None:
+        from warmup_fir_filter_tpu.utils.profiling import trace
+
+        profile_cm = trace(str(args.profile))
+    else:
+        import contextlib
+
+        profile_cm = contextlib.nullcontext()
     try:
-        result = run_pipeline(
-            image_dir=args.image_dir,
-            artifact_root=args.artifact_root,
-            tap=args.tap,
-            backend=args.backend,
-            qformat=QFormat(
-                coeff_bits=args.coeff_bits,
-                frac_bits=args.frac_bits,
-                acc_bits=args.acc_bits,
-            ),
-            overwrite_vectors=args.overwrite_vectors,
-            overwrite_images=args.overwrite_images,
-            skip_input=args.skip_input,
-            skip_ideal=args.skip_ideal,
-            skip_fixed=args.skip_fixed,
-            skip_report=args.skip_report,
-            skip_restore=args.skip_restore,
-            restore_kind=args.restore_kind,
-            ideal_policy=args.ideal_policy,
-            strict_report=args.strict_report,
-            strict_restore=args.strict_restore,
-            top_k=args.top_k,
-        )
+        with profile_cm:
+            result = run_pipeline(
+                image_dir=args.image_dir,
+                artifact_root=args.artifact_root,
+                tap=args.tap,
+                backend=args.backend,
+                qformat=QFormat(
+                    coeff_bits=args.coeff_bits,
+                    frac_bits=args.frac_bits,
+                    acc_bits=args.acc_bits,
+                ),
+                overwrite_vectors=args.overwrite_vectors,
+                overwrite_images=args.overwrite_images,
+                skip_input=args.skip_input,
+                skip_ideal=args.skip_ideal,
+                skip_fixed=args.skip_fixed,
+                skip_report=args.skip_report,
+                skip_restore=args.skip_restore,
+                restore_kind=args.restore_kind,
+                ideal_policy=args.ideal_policy,
+                strict_report=args.strict_report,
+                strict_restore=args.strict_restore,
+                top_k=args.top_k,
+            )
     except Exception as exc:
         elapsed = time.perf_counter() - start
         print(f'[FAIL] pipeline elapsed={elapsed:.3f}s error="{exc}"')

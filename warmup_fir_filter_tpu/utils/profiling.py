@@ -45,12 +45,23 @@ def trace(log_dir: str, *, enabled: bool = True):
 
 
 class StageTimer:
-    """Wall-clock + throughput accounting for a processing stage."""
+    """Wall-clock + throughput accounting for a processing stage.
 
-    def __init__(self, name: str, *, sol_msps: float = DEFAULT_SOL_MSPS):
+    Used as the status-line emitter of pipeline stages 2/3 (``stages.py``):
+    carries arbitrary ``counts`` (generated/skipped/...), accumulates
+    processed sample counts, and prints the reference-shaped structured
+    line extended with achieved Msamples/s and (when ``sol_msps`` is set)
+    the roofline fraction.  On exception a ``[FAIL]`` line is printed and
+    the exception propagates (the reference's fail-fast contract,
+    ``pipeline_fir_1d.py:232-241``).
+    """
+
+    def __init__(self, name: str, *, sol_msps: float | None = DEFAULT_SOL_MSPS,
+                 **counts: int):
         self.name = name
         self.sol_msps = sol_msps
         self.samples = 0
+        self.counts: dict = dict(counts)
         self._elapsed = 0.0
         self._start: float | None = None
 
@@ -64,6 +75,14 @@ class StageTimer:
         self._start = None
         if exc_type is None:
             print(self.status_line())
+        else:
+            print(self.status_line(ok=False, error=str(exc)))
+
+    def __getitem__(self, key: str) -> int:
+        return self.counts[key]
+
+    def __setitem__(self, key: str, value: int) -> None:
+        self.counts[key] = value
 
     def add_samples(self, count: int) -> None:
         self.samples += int(count)
@@ -76,10 +95,13 @@ class StageTimer:
     def msps(self) -> float:
         return self.samples / self._elapsed / 1e6 if self._elapsed else 0.0
 
-    def status_line(self) -> str:
-        frac = self.msps / self.sol_msps if self.sol_msps else 0.0
-        return (
-            f"[OK] {self.name} samples={self.samples} "
-            f"elapsed={self._elapsed:.3f}s msps={self.msps:.1f} "
-            f"sol_fraction={frac:.3f}"
-        )
+    def status_line(self, *, ok: bool = True, error: str | None = None) -> str:
+        parts = ["[OK]" if ok else "[FAIL]", self.name]
+        parts += [f"{key}={value}" for key, value in self.counts.items()]
+        parts += [f"samples={self.samples}", f"elapsed={self._elapsed:.3f}s",
+                  f"msps={self.msps:.1f}"]
+        if self.sol_msps:
+            parts.append(f"sol_fraction={self.msps / self.sol_msps:.3f}")
+        if error is not None:
+            parts.append(f'error="{error}"')
+        return " ".join(parts)
