@@ -16,6 +16,11 @@ Two modes:
 - ``--mode weak`` (for a real pod slice): constant per-device work,
   efficiency = throughput(n) / (n · throughput(1)).
 
+- ``--mode pp``: measures the pipeline-parallel executor's *actual*
+  overlap — sleep-weighted stages on distinct devices, pipelined vs
+  forced-sequential wall clock, reported against the theoretical
+  ``T·S / (T + S - 1)`` bound.
+
 Prints ONE JSON line.
 """
 
@@ -52,7 +57,7 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
     parser.add_argument("--mode", default="overhead",
-                        choices=("overhead", "weak"))
+                        choices=("overhead", "weak", "pp"))
     parser.add_argument("--devices", type=int, default=8)
     parser.add_argument("--channels", type=int, default=8)
     parser.add_argument("--time", type=int, default=1 << 14)
@@ -85,7 +90,61 @@ def main() -> int:
     h = np.asarray(FILTER_BANK_5TAP["sharpen"])
     rng = np.random.default_rng(7)
 
-    if args.mode == "overhead":
+    if args.mode == "pp":
+        from warmup_fir_filter_tpu.parallel.pipeline_parallel import (
+            PipelinedChain,
+        )
+
+        num_stages = min(4, n)
+        num_batches = 8
+        delay_s = 0.05
+
+        def make_stage(tag):
+            def callback(x):
+                time.sleep(delay_s)
+                return x
+
+            def stage(x):
+                return jax.pure_callback(
+                    callback, jax.ShapeDtypeStruct(x.shape, x.dtype), x,
+                    vmap_method="sequential",
+                ) + tag
+
+            return stage
+
+        chain = PipelinedChain(
+            [make_stage(float(i)) for i in range(num_stages)],
+            devices=devices[:num_stages],
+        )
+        batches = [np.full((4, 8), float(m), np.float32)
+                   for m in range(num_batches)]
+        chain.run_microbatches(batches[:1])  # warm/compile
+        chain.run_microbatches(batches[:1], force_sequential=True)
+
+        t0 = time.perf_counter()
+        chain.run_microbatches(batches, force_sequential=True)
+        seq_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chain.run_microbatches(batches)
+        pp_s = time.perf_counter() - t0
+
+        speedup = seq_s / pp_s
+        theoretical = (num_batches * num_stages) / (
+            num_batches + num_stages - 1
+        )
+        payload = {
+            "metric": "pipeline_parallel_overlap",
+            "value": round(speedup, 2),
+            "unit": f"x speedup, {num_stages} stages x {num_batches} "
+                    "microbatches (theoretical "
+                    f"{theoretical:.2f}x)",
+            "vs_baseline": round(speedup / theoretical, 3),
+            "platform": args.platform,
+            "sequential_s": round(seq_s, 3),
+            "pipelined_s": round(pp_s, 3),
+            "stage_delay_s": delay_s,
+        }
+    elif args.mode == "overhead":
         x = rng.integers(
             0, 256, size=(args.channels * n, args.time * n), dtype=np.uint8
         )

@@ -1,0 +1,83 @@
+"""Worker process for the 2-process jax.distributed test.
+
+Invoked by ``tests/test_multihost.py`` as::
+
+    python tests/_multihost_worker.py <process_id> <num_processes> <port>
+
+Each process contributes 2 virtual CPU devices; the combined 4-device
+mesh runs the halo-exchange sharded FIR and each process bit-checks its
+addressable output shards against the numpy golden.  This is the DCN
+code path (multi-process runtime + cross-process collectives) that the
+reference's filesystem-as-transport never had (SURVEY.md §5.8).
+"""
+
+import os
+import sys
+
+proc_id, num_procs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from warmup_fir_filter_tpu.models.filters import FILTER_BANK_5TAP  # noqa: E402
+from warmup_fir_filter_tpu.models.golden import (  # noqa: E402
+    fir1d_fixed_golden_rows,
+)
+from warmup_fir_filter_tpu.parallel import (  # noqa: E402
+    fir1d_fixed_sharded,
+    make_mesh,
+)
+from warmup_fir_filter_tpu.parallel.distributed import (  # noqa: E402
+    initialize_multihost,
+)
+
+
+def main() -> int:
+    initialized = initialize_multihost(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=num_procs,
+        process_id=proc_id,
+    )
+    assert initialized, "initialize_multihost() reported single-process"
+    assert jax.process_count() == num_procs, jax.process_count()
+    assert len(jax.devices()) == 2 * num_procs, len(jax.devices())
+    assert len(jax.local_devices()) == 2, len(jax.local_devices())
+
+    # Identical global input on every process (SPMD lockstep).
+    rng = np.random.default_rng(42)
+    x = rng.integers(0, 256, size=(8, 256), dtype=np.uint8)
+    h = np.asarray(FILTER_BANK_5TAP["sharpen"])
+
+    mesh = make_mesh({"data": 2, "time": num_procs})
+    sharding = NamedSharding(mesh, P("data", "time"))
+    x_global = jax.make_array_from_callback(
+        x.shape, sharding, lambda idx: x[idx]
+    )
+
+    out = fir1d_fixed_sharded(x_global, h, mesh=mesh)
+    golden = fir1d_fixed_golden_rows(x, h)
+
+    checked = 0
+    for shard in out.addressable_shards:
+        got = np.asarray(shard.data)
+        expected = golden[shard.index]
+        if not np.array_equal(got, expected):
+            print(f"[FAIL] process {proc_id} shard {shard.index}: "
+                  "mismatch vs golden", flush=True)
+            return 1
+        checked += 1
+    assert checked > 0, "process owned no output shards"
+    print(f"[OK] multihost worker process={proc_id} shards={checked} "
+          "bit-exact", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,12 +3,26 @@
 Breadth ring: every (coeff_bits, frac_bits, acc_bits, L) cell runs the
 same random vectors through the numpy golden, the jnp int32 path, and
 the MXU kernel (interpret on CPU), asserting three-way bit-equality.
+
+Two layers (VERDICT r1 item 10):
+
+- the hand-picked boundary cells of ``SWEEP`` (kept — they pin the
+  corner cases by name), four-way including the VPU Pallas kernel;
+- a seeded *randomized* sweep of ~100 cells over coeff_bits ×
+  frac_bits × acc_bits 8-32 × taps {1,2,3,5,63,129,257} × ragged
+  widths, golden vs jnp vs MXU (the fuzz net for rounding/wraparound
+  interactions no one hand-picks; golden spec
+  ``/root/reference/fir_1d/docs/fir_1d_golden_spec_v1.md:28-90``).
 """
 
 import numpy as np
 import pytest
 
-from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
+from warmup_fir_filter_tpu.kernels.fir_mxu import (
+    MAX_TAPS,
+    fir1d_fixed_rows_mxu,
+)
+from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
 from warmup_fir_filter_tpu.models.golden import fir1d_fixed_golden_rows
 from warmup_fir_filter_tpu.ops.fir1d import fir1d_fixed_rows_jnp
 from warmup_fir_filter_tpu.ops.qformat import QFormat
@@ -39,8 +53,53 @@ def test_three_way_bit_equality(rng, coeff_bits, frac_bits, acc_bits,
 
     golden = fir1d_fixed_golden_rows(x, h, qf)
     jnp_out = np.asarray(fir1d_fixed_rows_jnp(x, h, qf))
+    vpu_out = np.asarray(fir1d_fixed_rows_pallas(x, h, qf))
     mxu_out = np.asarray(
         fir1d_fixed_rows_mxu(x, h, qf, block_rows=8, col_tiles=2)
     )
     np.testing.assert_array_equal(jnp_out, golden)
+    np.testing.assert_array_equal(vpu_out, golden)
     np.testing.assert_array_equal(mxu_out, golden)
+
+
+def _random_cells(num_cells: int, seed: int) -> list:
+    """Seeded random (coeff_bits, frac_bits, acc_bits, taps, width) cells."""
+    rng = np.random.default_rng(seed)
+    tap_choices = np.array([1, 2, 3, 5, 63, 129, MAX_TAPS])
+    cells = []
+    for _ in range(num_cells):
+        coeff_bits = int(rng.choice([8, 16, 32]))
+        frac_bits = int(rng.integers(1, min(coeff_bits, 25)))
+        acc_bits = int(rng.integers(8, 33))
+        num_taps = int(rng.choice(tap_choices))
+        width = int(rng.integers(num_taps, 600))  # ragged, incl. < 1 lane
+        cells.append((coeff_bits, frac_bits, acc_bits, num_taps, width))
+    return cells
+
+
+@pytest.mark.parametrize("batch_idx", range(4))
+def test_randomized_fuzz_sweep(batch_idx):
+    """~100-cell seeded fuzz: golden vs jnp vs MXU bit-equality.
+
+    Split into 4 parametrized batches so a failure names its quarter;
+    the cell parameters are printed in the assert message for replay.
+    """
+    cells = _random_cells(num_cells=25, seed=20260819 + batch_idx)
+    rng = np.random.default_rng(777 + batch_idx)
+    for coeff_bits, frac_bits, acc_bits, num_taps, width in cells:
+        qf = QFormat(coeff_bits=coeff_bits, frac_bits=frac_bits,
+                     acc_bits=acc_bits)
+        span = min(qf.max_coeff_real, 8.0)
+        h = np.clip(rng.uniform(-span, span, size=num_taps),
+                    max(qf.min_coeff_real, -8.0), span)
+        x = rng.integers(0, 256, size=(2, width), dtype=np.uint8)
+        cell = (f"cell(coeff={coeff_bits}, frac={frac_bits}, "
+                f"acc={acc_bits}, taps={num_taps}, width={width})")
+
+        golden = fir1d_fixed_golden_rows(x, h, qf)
+        jnp_out = np.asarray(fir1d_fixed_rows_jnp(x, h, qf))
+        np.testing.assert_array_equal(jnp_out, golden, err_msg=f"jnp {cell}")
+        # Default geometry exercises the full-row in-place hot path; the
+        # hand-picked SWEEP above covers the column-split fallback.
+        mxu_out = np.asarray(fir1d_fixed_rows_mxu(x, h, qf, block_rows=8))
+        np.testing.assert_array_equal(mxu_out, golden, err_msg=f"mxu {cell}")

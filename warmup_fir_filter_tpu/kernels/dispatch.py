@@ -1,22 +1,22 @@
 """Backend auto-dispatch for the bit-exact fixed-point FIR.
 
 Measured single-chip throughput on the 5-tap Q4.12 headline workload
-(TPU v5e, see bench.py) and the 63-tap config-4 filter:
+(TPU v5e, see bench.py / BENCH_r02.json) and wider filters:
 
-================  ==========  ===========
-path              5-tap Gsps  63-tap Gsps
-================  ==========  ===========
-MXU band matmul       158         74
-Pallas VPU MAC         66          ~5
-jnp/XLA                28          ~3
-FFT overlap-save      ~3.2         3.2  (float path, not bit-exact)
-================  ==========  ===========
+================  ==========  ===========  ============
+path              5-tap Gsps  63-tap Gsps  257-tap Gsps
+================  ==========  ===========  ============
+MXU band matmul       316         252          240
+Pallas VPU MAC         68          ~5           —
+jnp/XLA                27          ~3           —
+FFT overlap-save      ~3.2         3.2          3.2  (float, not bit-exact)
+================  ==========  ===========  ============
 
 The int8 MXU eats taps nearly for free (adding taps only adds band
-density and digit planes), so the direct MXU kernel beats the FFT path
-even at 63 taps by ~23× *and* stays bit-exact — the FFT path is the
-float *model* path and the only option beyond the MXU kernel's 257-tap
-tri-tile band limit.
+density and digit planes under a memory-bound op), so the direct MXU
+kernel beats the FFT path even at 63 taps by ~80× *and* stays bit-exact
+— the FFT path is the float *model* path and the only option beyond the
+MXU kernel's 257-tap tri-tile band limit.
 """
 
 from __future__ import annotations

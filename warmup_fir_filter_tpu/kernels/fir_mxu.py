@@ -6,14 +6,8 @@ per sample); this kernel moves the MACs onto the 128×128 int8 MXU so the
 FIR becomes *memory*-bound — the true roofline for a 2-bytes-per-sample
 op.
 
-Formulation — **zero-copy (no-pad) tri-tile band matmuls**
-----------------------------------------------------------
-The kernel reads the raw ``(B, N)`` uint8 input directly; there is no
-host/XLA padding pass (an earlier revision padded with ``jnp.pad``,
-which cost a full extra HBM read+write of the entire input — measured
-at ~2× total traffic, capping throughput at 162 Gsps vs the chip's
-~346 Gsps practical ceiling).
-
+Formulation — **tri-tile band matmuls over full-row blocks, in place**
+----------------------------------------------------------------------
 Split each output row into 128-sample lane tiles.  Output tile ``p``
 only reads input tiles ``p-1``, ``p``, ``p+1`` (requires ``L ≤ 257``):
 
@@ -22,13 +16,31 @@ only reads input tiles ``p-1``, ``p``, ``p+1`` (requires ``L ≤ 257``):
 with ``center = L // 2``, ``left = L - 1 - center`` and the banded
 transfer matrices of :func:`build_tile_band_planes`.  The side operands
 are trimmed to their true band width (K = ``left`` / ``center``), so
-each digit costs ``128 + L - 1`` MACs/sample — the same MXU traffic as
-a pre-padded two-tile formulation, but with no padding pass.  All input
-views are slices of the program's register-resident block; the halo
-tiles beyond the block are DMA'd separately (2×(BR,128) ≈ 6% extra
-reads at C=32).  Zero-padding at row edges is realized by gating the
-halo tiles with a bitwise AND against a 0x00/0xFF splat in-register (no
-HBM cost; iota-masked selects hit unimplemented Mosaic lowerings here).
+each digit costs ``128 + L - 1`` MACs/sample.
+
+**The hot path uses full-row blocks aliased in place** (r2 redesign):
+each program owns ``(BR, N)`` complete rows, every halo is an
+in-register slice (tile 0 / tile C-1 take zero sides), and the input
+operand is declared ``input_output_aliases`` with the output.  The
+aliasing is what buys the 2×: without it, XLA inserts a *full-array
+copy before the kernel on every iteration of any loop that chains the
+FIR* (the while-loop carry cannot alias an unaliased custom call's
+output — observed as ``%copy.10 = u8[19456,8192] copy(...)`` feeding
+``tpu_custom_call`` in the compiled HLO, 320 MB of extra traffic per
+apply).  Measured on v5e: 158 Gsps with the copy, **320 Gsps without**
+(78% of the 409.5 Gsps HBM speed of light; a bare in-place Pallas copy
+measures 328 and XLA's fused elementwise passes 306-340).  Because rows
+are independent, in-place is race-free: each block is fully fetched to
+VMEM before its write-back.  Callers' buffers are never clobbered —
+at a jit boundary XLA inserts one defensive copy unless the caller
+donates; inside jit/scan chains the alias is free.
+
+Rows too wide for a VMEM-resident block (> ``MAX_FULLROW_LANES`` lane
+tiles) fall back to the original column-split kernel: output-aligned
+``(BR, C·128)`` body blocks with separately-DMA'd halo lane tiles,
+clamped BlockSpec indices, and in-register AND-gating for the row-edge
+zero pad (no aliasing possible there — an output block would need the
+previous block's already-overwritten tail).
 
 Exactness on the int8 MXU is obtained by two exact encodings:
 
@@ -48,6 +60,8 @@ Each 128-lane output tile costs ``D`` int8 matmuls totalling
 tri-tile L=257 limit; D = digit count, 1 for the Q4.12 filter banks
 whose fixed coefficients are multiples of 256) = K·D MACs/sample — far
 below the v5e MXU's ~394 TOPS, leaving HBM bandwidth as the only wall.
+Replaces the reference's scalar-interpreted hot loop
+(``fir_1d_fixed_ref.py:95-128``).
 """
 
 from __future__ import annotations
@@ -64,9 +78,16 @@ from warmup_fir_filter_tpu.ops.qformat import QFormat
 
 LANE = 128
 DEFAULT_BLOCK_ROWS = 512
-DEFAULT_COL_TILES = 32  # output tiles per program; halo traffic ×(C+2)/C
+DEFAULT_COL_TILES = 32  # fallback: output tiles/program; halo ×(C+2)/C
 MAX_TAPS = 2 * LANE + 1          # tri-tile band limit (this kernel)
 MAX_TAPS_TWO_TILE = LANE + 1     # two-tile [A0; A1] limit (2-D kernel)
+
+#: Full-row hot path: row width limit in lane tiles.  A block is
+#: ``BR × lanes·128`` bytes; at the 32-sublane u8 minimum BR this caps a
+#: block at 32·256·128 = 1 MB, comfortably double-buffered in VMEM.
+MAX_FULLROW_LANES = 256
+#: Target VMEM bytes per (input) block on the full-row path.
+FULLROW_BLOCK_BYTES = 2 * 1024 * 1024
 
 
 def signed_base256_digits(values: np.ndarray) -> np.ndarray:
@@ -196,6 +217,129 @@ def build_tile_band_planes(
         np.stack(next_planes),
         tuple(exponents),
     )
+
+
+def _fir_mxu_fullrow_kernel(
+    bias_ref,    # (1, 1) int32 in SMEM: 128·Σ h_fixed (+ rounding, fast path)
+    a_prev_ref,  # (D_kept, left, 128) int8: previous-tile band planes
+    a_cur_ref,   # (D_kept, 128, 128) int8: current-tile band planes
+    a_next_ref,  # (D_kept, center, 128) int8: next-tile band planes
+    body_ref,    # (BR, N) uint8: full rows (aliased with the output)
+    o_ref,       # (BR, N) uint8 output
+    *,
+    exponents: tuple[int, ...],
+    frac_bits: int,
+    acc_bits: int,
+    needs_wrap: bool,
+    left: int,
+    center: int,
+):
+    bias = bias_ref[0, 0]
+    block_rows, n = body_ref.shape
+    col_tiles = n // LANE
+
+    # Re-bias uint8 → int8: x - 128 ≡ x XOR 0x80 reinterpreted as int8.
+    x_body = pltpu.bitcast(body_ref[:] ^ jnp.uint8(0x80), jnp.int8)
+    # Zero-pad sides for the first/last lane tile: u8 0 re-biases to -128,
+    # whose +128·Σh bias contribution restores an exact zero.
+    side = max(left, center)
+    zero_side = (jnp.full((block_rows, side), -128, jnp.int8)
+                 if side else None)
+
+    for tl in range(col_tiles):
+        cur = x_body[:, tl * LANE : (tl + 1) * LANE]
+        if left:
+            prev = (zero_side[:, :left] if tl == 0 else
+                    x_body[:, tl * LANE - left : tl * LANE])
+        if center:
+            nxt = (zero_side[:, :center] if tl == col_tiles - 1 else
+                   x_body[:, (tl + 1) * LANE : (tl + 1) * LANE + center])
+        acc = jnp.full((block_rows, LANE), bias, jnp.int32)
+        for plane, b in enumerate(exponents):
+            prod = jnp.dot(cur, a_cur_ref[plane],
+                           preferred_element_type=jnp.int32)
+            if left:
+                prod = prod + jnp.dot(prev, a_prev_ref[plane],
+                                      preferred_element_type=jnp.int32)
+            if center:
+                prod = prod + jnp.dot(nxt, a_next_ref[plane],
+                                      preferred_element_type=jnp.int32)
+            acc = acc + (prod << (8 * b) if b else prod)
+
+        if needs_wrap:
+            if acc_bits < 32:
+                shift = 32 - acc_bits
+                acc = (acc << shift) >> shift
+            low = acc & ((1 << frac_bits) - 1)
+            carry = (low + (1 << (frac_bits - 1))) >> frac_bits
+            final = (acc >> frac_bits) + carry
+        else:
+            final = acc >> frac_bits
+
+        o_ref[:, tl * LANE : (tl + 1) * LANE] = (
+            jnp.clip(final, 0, 255).astype(jnp.uint8)
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("exponents", "frac_bits", "acc_bits", "block_rows",
+                     "needs_wrap", "left", "center", "interpret"),
+)
+def _fir_mxu_fullrow(
+    x,       # (B, N) uint8, N a multiple of 128
+    a_prev,  # (D_kept, max(left,1), 128) int8 side band planes
+    a_cur,   # (D_kept, 128, 128) int8 current-tile band planes
+    a_next,  # (D_kept, max(center,1), 128) int8 side band planes
+    bias,    # (1, 1) int32
+    exponents: tuple,
+    frac_bits: int,
+    acc_bits: int,
+    block_rows: int,
+    needs_wrap: bool,
+    left: int,
+    center: int,
+    interpret: bool,
+):
+    batch, n = x.shape
+    grid = (-(-batch // block_rows),)
+    row_spec = pl.BlockSpec((block_rows, n), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda r: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(a_prev.shape, lambda r: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(a_cur.shape, lambda r: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(a_next.shape, lambda r: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        row_spec,
+    ]
+    kernel = functools.partial(
+        _fir_mxu_fullrow_kernel,
+        exponents=exponents,
+        frac_bits=frac_bits,
+        acc_bits=acc_bits,
+        needs_wrap=needs_wrap,
+        left=left,
+        center=center,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, n), jnp.uint8),
+        # In-place update: rows are independent, each block is fully
+        # fetched before its write-back, and the alias removes the
+        # per-iteration full-array copy XLA otherwise inserts when the
+        # kernel is chained in a loop (see module docstring).
+        input_output_aliases={4: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bias, a_prev, a_cur, a_next, x)
 
 
 def _fir_mxu_kernel(
@@ -388,11 +532,17 @@ def fir1d_fixed_rows_mxu(
 
     Same contract as ``fir1d_fixed_rows_jnp`` / ``fir1d_fixed_rows_pallas``
     (the golden contract of ``/root/reference`` ``fir_1d_fixed_ref.py:12``).
-    Zero-copy: the kernel reads the raw input directly; halo tiles and
-    edge zero-padding are realized with clamped BlockSpec indices and
-    in-register masks, never a padded HBM copy.  Block geometry defaults
-    adapt to the input so small inputs are not padded out to the
-    full-throughput tile shape.
+
+    Hot path (lane-aligned rows up to ``MAX_FULLROW_LANES`` tiles wide,
+    ``col_tiles`` unset): full-row blocks updated **in place** via
+    ``input_output_aliases`` — 320 Gsps on v5e, 2× the unaliased design
+    (module docstring).  The caller's array is never mutated: XLA
+    inserts one defensive copy at a jit boundary unless the buffer is
+    donated; chained/jitted callers alias for free.
+
+    Fallback (wider rows, or explicit ``col_tiles``): column-split
+    output-aligned blocks with separately-DMA'd halo lane tiles (clamped
+    BlockSpec indices, in-register edge gating, no padding pass).
     """
     if not qformat.tpu_native:
         raise ValueError(
@@ -422,6 +572,36 @@ def fir1d_fixed_rows_mxu(
 
     x_u8 = jnp.asarray(x_u8, dtype=jnp.uint8)
     batch, n = x_u8.shape
+    interpret = (
+        (jax.default_backend() != "tpu") if interpret is None else interpret
+    )
+    lanes_needed = max(1, _round_up(n, LANE) // LANE)
+    if col_tiles is None and lanes_needed <= MAX_FULLROW_LANES:
+        # Full-row in-place hot path.
+        n_pad = lanes_needed * LANE
+        if block_rows is None:
+            by_vmem = max(1, FULLROW_BLOCK_BYTES // n_pad)
+            block_rows = int(min(_round_up(max(batch, 1), 8),
+                                 _round_up(by_vmem, 8)))
+        if n_pad != n:
+            x_u8 = jnp.pad(x_u8, ((0, 0), (0, n_pad - n)))
+        out = _fir_mxu_fullrow(
+            x_u8,
+            jnp.asarray(a_prev),
+            jnp.asarray(a_cur),
+            jnp.asarray(a_next),
+            jnp.asarray(bias),
+            exponents,
+            qformat.frac_bits,
+            qformat.acc_bits,
+            block_rows,
+            needs_wrap,
+            left,
+            center,
+            interpret,
+        )
+        return out if n_pad == n else out[:, :n]
+
     if col_tiles is None:
         # Zero-copy requires N to be a multiple of C·128: pick the
         # largest C ≤ 32 that divides the (lane-rounded) width, so any
@@ -430,6 +610,24 @@ def fir1d_fixed_rows_mxu(
         col_tiles = max(
             c for c in range(1, DEFAULT_COL_TILES + 1) if lanes % c == 0
         )
+        if col_tiles < 4 and lanes > DEFAULT_COL_TILES:
+            # Awkward widths (e.g. prime lane counts) would degrade to
+            # C ∈ {1,2,3}: halo DMA becomes 2 tiles per C body tiles
+            # (up to 3× HBM reads) *and* the per-program blocks shrink
+            # to latency-bound sizes.  Pad N up to the nearest width
+            # with a divisor ≥ 8 instead: the pad/crop copies cost about
+            # the same bytes as the C=1 halo re-reads, but the kernel
+            # then runs full-width blocks at streaming efficiency.
+            lanes = min(
+                (cand for cand in range(lanes + 1, lanes + DEFAULT_COL_TILES)
+                 if any(cand % c == 0
+                        for c in range(8, DEFAULT_COL_TILES + 1))),
+                default=lanes,
+            )
+            col_tiles = max(
+                c for c in range(1, DEFAULT_COL_TILES + 1)
+                if lanes % c == 0
+            )
     if block_rows is None:
         block_rows = int(min(DEFAULT_BLOCK_ROWS,
                              _round_up(max(batch, 1), 8)))
@@ -452,6 +650,6 @@ def fir1d_fixed_rows_mxu(
         needs_wrap,
         left,
         center,
-        (jax.default_backend() != "tpu") if interpret is None else interpret,
+        interpret,
     )
     return out if n_pad == n else out[:, :n]
