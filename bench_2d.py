@@ -1,0 +1,135 @@
+"""2-D FIR throughput benchmark (BASELINE config 3 roofline treatment).
+
+Measures the bit-exact fixed-point 5x5 2-D FIR backends in Msamples/s on
+one chip and prints ONE JSON line.  Roofline context: the op moves
+2 bytes/sample (u8 in + u8 out) like the 1-D FIR, but a dense Lr x Lc
+kernel costs Lr MXU band passes per output tile (~`Lr*(128+Lc-1)`
+MAC-slots/sample), so for 5x5 the compute bound (~394 TOPS int8) and
+the memory bound (~409.5 Gsps) are within 2x of each other — the
+kernel must keep BOTH engines busy to approach either.
+
+Usage: ``python bench_2d.py [--quick]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import numpy as np
+
+HBM_GBPS = 819.0
+BYTES_PER_SAMPLE = 2.0
+MXU_TOPS = 394.0
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--size", type=int, default=8192)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from warmup_fir_filter_tpu.kernels.fir2d_mxu import (
+        fir2d_fixed_frame,
+        fir2d_fixed_mxu,
+        pad_frame,
+    )
+    from warmup_fir_filter_tpu.ops.fir2d import (
+        FILTER_BANK_2D,
+        fir2d_fixed_golden,
+        fir2d_fixed_jnp,
+    )
+    from warmup_fir_filter_tpu.utils.benchmarking import chained_throughput
+
+    size = 2048 if args.quick else args.size
+    h = FILTER_BANK_2D["sharpen5"] if "sharpen5" in FILTER_BANK_2D else (
+        FILTER_BANK_2D["gauss5"])
+    taps_r, taps_c = np.asarray(h).shape
+
+    rng = np.random.default_rng(20260819)
+    x = rng.integers(0, 256, size=(size, size), dtype=np.uint8)
+    x_dev = jax.device_put(jnp.asarray(x))
+
+    # Bit-exactness gate on a slice.
+    check = x[:256, :512]
+    golden = fir2d_fixed_golden(check, h)
+
+    # MXU streaming path: the padded-frame kernel chained the way a
+    # streaming consumer would use it — two applies per step with the
+    # dead frame donated as the second apply's scratch, so the loop has
+    # no XLA per-iteration copy and the carry buffer stays stable.
+    x_ext, (t0, h_img, w_img, br) = pad_frame(x, taps_r)
+    core = (t0, h_img, w_img)
+    x_ext_dev = jax.device_put(x_ext)
+
+    def mxu_step(y):
+        t = fir2d_fixed_frame(y, h, core=core, block_rows=br)
+        return fir2d_fixed_frame(t, h, core=core, block_rows=br, scratch=y)
+
+    backends = {}
+    try:
+        if np.array_equal(
+            np.asarray(fir2d_fixed_mxu(jnp.asarray(check), h)), golden
+        ):
+            r = chained_throughput(mxu_step, x_ext_dev, repeats=5)
+            # 2 core-image applies per step.
+            backends["mxu"] = 2 * h_img * w_img / r["seconds_per_apply"] / 1e6
+        else:
+            print("# backend mxu NOT bit-exact", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# backend mxu failed: {exc}", file=sys.stderr)
+
+    try:
+        if np.array_equal(
+            np.asarray(fir2d_fixed_jnp(jnp.asarray(check), h)), golden
+        ):
+            r = chained_throughput(lambda a: fir2d_fixed_jnp(a, h), x_dev,
+                                   repeats=5)
+            backends["jnp"] = r["samples_per_second"] / 1e6
+        else:
+            print("# backend jnp NOT bit-exact", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# backend jnp failed: {exc}", file=sys.stderr)
+
+    if not backends:
+        print(json.dumps({"metric": "fixed2d_5x5_msps_per_chip", "value": 0.0,
+                          "unit": "Msamples/s/chip", "vs_baseline": 0.0,
+                          "error": "no bit-exact backend"}))
+        return 1
+
+    best = max(backends, key=backends.get)
+    msps = backends[best]
+    sol_mem = HBM_GBPS * 1e9 / BYTES_PER_SAMPLE / 1e6
+    # MXU compute bound for the band formulation: taps_r band passes of
+    # K = 128 + taps_c - 1 rows per 128-lane tile, 2 ops per MAC slot.
+    macs_per_sample = taps_r * (128 + taps_c - 1)
+    sol_mxu = MXU_TOPS * 1e12 / (2 * macs_per_sample) / 1e6
+    sol = min(sol_mem, sol_mxu)
+    print(json.dumps({
+        "metric": "fixed2d_5x5_msps_per_chip",
+        "value": round(msps, 1),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / sol, 3),
+        "backend": best,
+        "backends_msps": {k: round(v, 1) for k, v in backends.items()},
+        "workload": f"{taps_r}x{taps_c} fixed 2-D FIR over {size}x{size} u8",
+        "device": str(jax.devices()[0]),
+        "sol_mem_msps": round(sol_mem, 1),
+        "sol_mxu_band_msps": round(sol_mxu, 1),
+        "sol_fraction": round(msps / sol, 3),
+        "bit_exact_vs_golden": True,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

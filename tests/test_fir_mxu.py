@@ -51,8 +51,8 @@ class TestBandMatrices:
         x_ext = rng.integers(-128, 128, size=(4, 2 * LANE)).astype(np.int64)
         windows = x_ext[:, : LANE + num_taps - 1]
         full = sum(
-            (256**b) * (windows @ stacked[p].astype(np.int64))
-            for p, b in enumerate(exps)
+            (windows @ stacked[p].astype(np.int64)) << e
+            for p, e in enumerate(exps)
         )
         direct = np.zeros((4, LANE), np.int64)
         for i in range(LANE):
@@ -61,13 +61,26 @@ class TestBandMatrices:
         np.testing.assert_array_equal(full, direct)
 
     def test_zero_digit_planes_dropped(self):
-        # Q4.12 bank coefficients are multiples of 256 → one kept plane,
-        # trimmed to K = 128 + (L - 1) rows.
+        # Q4.12 bank coefficients are multiples of 256 → one kept plane
+        # at bit shift 8 (pow2-factored), trimmed to K = 128 + (L - 1).
         qf = QFormat()
         h_fixed = qf.quantize_coeffs(FILTER_BANKS[5]["sharpen"])
         stacked, exps = build_band_matrices(h_fixed)
-        assert exps == (1,)
+        assert exps == (8,)
         assert stacked.shape == (1, LANE + 4, LANE)
+
+    def test_pow2_factoring_collapses_planes(self):
+        from warmup_fir_filter_tpu.kernels.fir_mxu import factor_pow2
+
+        # Values all multiples of 16 but > 127: raw digits would need
+        # two planes; pow2 factoring collapses them to one.
+        h_fixed = np.array([96, 384, 576, 384, 96], np.int64)
+        reduced, s = factor_pow2(h_fixed)
+        assert s == 5
+        np.testing.assert_array_equal(reduced << s, h_fixed)
+        stacked, exps = build_band_matrices(h_fixed)
+        assert len(exps) == 1
+        assert exps == (5,)
 
     def test_too_many_taps_rejected(self):
         with pytest.raises(ValueError, match="supports up to"):

@@ -8,7 +8,11 @@ are bit-checked against it.
 
 from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
 from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
-from warmup_fir_filter_tpu.kernels.fir2d_mxu import fir2d_fixed_mxu
+from warmup_fir_filter_tpu.kernels.fir2d_mxu import (
+    fir2d_fixed_frame,
+    fir2d_fixed_mxu,
+    pad_frame,
+)
 from warmup_fir_filter_tpu.kernels.fft_pallas import (
     fft_rows_pallas,
     fir_overlap_save_pallas,
@@ -20,6 +24,8 @@ __all__ = [
     "fir1d_fixed_rows_pallas",
     "fir1d_fixed_rows_mxu",
     "fir2d_fixed_mxu",
+    "fir2d_fixed_frame",
+    "pad_frame",
     "fft_rows_pallas",
     "fir_overlap_save_pallas",
     "fir_overlap_save_quantized_pallas",

@@ -107,6 +107,23 @@ def signed_base256_digits(values: np.ndarray) -> np.ndarray:
     return np.stack(digits)
 
 
+def factor_pow2(values: np.ndarray) -> tuple[np.ndarray, int]:
+    """Factor the common power of two: ``values == reduced << s``.
+
+    Digit planes cost one MXU pass each, so scale factors hiding in the
+    quantized coefficients are pure waste: e.g. the Q4.12 5×5 Gaussian's
+    values are all multiples of 16, and ``h >> 4`` fits one int8 digit
+    plane where the raw values need two.  The shift folds into the
+    plane's accumulation exponent (exact in mod-2^32 arithmetic).
+    """
+    values = np.asarray(values, dtype=np.int64)
+    nonzero = values[values != 0]
+    if nonzero.size == 0:
+        return values, 0
+    s = min(int(v & -v).bit_length() - 1 for v in np.abs(nonzero))
+    return values >> s, s
+
+
 def build_band_matrices(h_fixed: np.ndarray) -> tuple[np.ndarray, tuple[int, ...]]:
     """Two-tile stacked digit-split banded transfer matrices (2-D kernel).
 
@@ -116,8 +133,9 @@ def build_band_matrices(h_fixed: np.ndarray) -> tuple[np.ndarray, tuple[int, ...
     (current input tile, **left-halo-aligned**: the caller supplies input
     shifted left by ``L-1-center``) and the remaining ``L-1`` rows hold
     ``A1_b`` (the band's spill into the next tile).  ``exponents`` are
-    the byte positions of the kept planes (all-zero planes — common for
-    Q4.12 banks whose coefficients are multiples of 256 — cost nothing).
+    the accumulation **bit shifts** of the kept planes (``8·byte + s``
+    with the common power-of-two ``s`` factored out by
+    :func:`factor_pow2`; all-zero planes cost nothing).
 
     Used by the dense 2-D kernel (``fir2d_mxu.py``), which pre-pads its
     input; the 1-D kernel below uses the no-pad tri-tile planes instead.
@@ -129,7 +147,8 @@ def build_band_matrices(h_fixed: np.ndarray) -> tuple[np.ndarray, tuple[int, ...
             f"two-tile band supports up to {MAX_TAPS_TWO_TILE} taps, "
             f"got {num_taps}."
         )
-    digits = signed_base256_digits(h_fixed)  # (D, L)
+    reduced, pow2 = factor_pow2(h_fixed)
+    digits = signed_base256_digits(reduced)  # (D, L)
     j_idx = np.arange(LANE)[:, None]  # input position within tile
     i_idx = np.arange(LANE)[None, :]  # output position within tile
     k0 = i_idx + (num_taps - 1) - j_idx
@@ -148,7 +167,7 @@ def build_band_matrices(h_fixed: np.ndarray) -> tuple[np.ndarray, tuple[int, ...
         a[:LANE][m0] = digits[b][k0[m0]]
         a[LANE:][m1[:spill]] = digits[b][k1[:spill][m1[:spill]]]
         planes.append(a)
-        exponents.append(b)
+        exponents.append(8 * b + pow2)
     if not planes:  # all-zero filter
         planes.append(np.zeros((LANE + spill, LANE), np.int8))
         exponents.append(0)
@@ -185,7 +204,8 @@ def build_tile_band_planes(
         )
     center = num_taps // 2
     left = num_taps - 1 - center
-    digits = signed_base256_digits(h_fixed)  # (D, L)
+    reduced, pow2 = factor_pow2(h_fixed)
+    digits = signed_base256_digits(reduced)  # (D, L)
     i_idx = np.arange(LANE)[None, :]
 
     def band(rows: int, offset: int, digit: np.ndarray) -> np.ndarray:
@@ -205,7 +225,7 @@ def build_tile_band_planes(
         prev_planes.append(band(left, left, digits[b]))
         cur_planes.append(band(LANE, 0, digits[b]))
         next_planes.append(band(center, -LANE, digits[b]))
-        exponents.append(b)
+        exponents.append(8 * b + pow2)
     if not exponents:  # all-zero filter
         prev_planes.append(band(left, left, digits[0] * 0))
         cur_planes.append(band(LANE, 0, digits[0] * 0))
@@ -264,7 +284,7 @@ def _fir_mxu_fullrow_kernel(
             if center:
                 prod = prod + jnp.dot(nxt, a_next_ref[plane],
                                       preferred_element_type=jnp.int32)
-            acc = acc + (prod << (8 * b) if b else prod)
+            acc = acc + (prod << b if b else prod)
 
         if needs_wrap:
             if acc_bits < 32:
@@ -410,7 +430,7 @@ def _fir_mxu_kernel(
             if center:
                 prod = prod + jnp.dot(nxt, a_next_ref[plane],
                                       preferred_element_type=jnp.int32)
-            acc = acc + (prod << (8 * b) if b else prod)
+            acc = acc + (prod << b if b else prod)
 
         if needs_wrap:
             # Exact-wraparound path: reduce mod 2^acc_bits + sign-extend,
