@@ -21,6 +21,7 @@ from warmup_fir_filter_tpu.parallel.fft_sharded import (
     fir_overlap_save_sharded,
 )
 from warmup_fir_filter_tpu.parallel.pipeline_parallel import PipelinedChain
+from warmup_fir_filter_tpu.parallel.spmd_pipeline import spmd_pipeline
 from warmup_fir_filter_tpu.parallel.distributed import initialize_multihost
 
 __all__ = [
@@ -32,5 +33,6 @@ __all__ = [
     "filter_bank_fixed_sharded",
     "fir_overlap_save_sharded",
     "PipelinedChain",
+    "spmd_pipeline",
     "initialize_multihost",
 ]
