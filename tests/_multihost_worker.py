@@ -55,27 +55,31 @@ def main() -> int:
     x = rng.integers(0, 256, size=(8, 256), dtype=np.uint8)
     h = np.asarray(FILTER_BANK_5TAP["sharpen"])
 
-    mesh = make_mesh({"data": 2, "time": num_procs})
-    sharding = NamedSharding(mesh, P("data", "time"))
-    x_global = jax.make_array_from_callback(
-        x.shape, sharding, lambda idx: x[idx]
-    )
-
-    out = fir1d_fixed_sharded(x_global, h, mesh=mesh)
     golden = fir1d_fixed_golden_rows(x, h)
-
     checked = 0
-    for shard in out.addressable_shards:
-        got = np.asarray(shard.data)
-        expected = golden[shard.index]
-        if not np.array_equal(got, expected):
-            print(f"[FAIL] process {proc_id} shard {shard.index}: "
-                  "mismatch vs golden", flush=True)
-            return 1
-        checked += 1
+
+    # Two mesh layouts: (a) data axis crossing processes, time within;
+    # (b) the time axis spanning ALL devices, so the overlap-save halo
+    # ppermute ring itself crosses the process (DCN) boundary.
+    for axes in ({"data": 2, "time": num_procs},
+                 {"data": 1, "time": 2 * num_procs}):
+        mesh = make_mesh(axes)
+        sharding = NamedSharding(mesh, P("data", "time"))
+        x_global = jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+        out = fir1d_fixed_sharded(x_global, h, mesh=mesh)
+        for shard in out.addressable_shards:
+            got = np.asarray(shard.data)
+            expected = golden[shard.index]
+            if not np.array_equal(got, expected):
+                print(f"[FAIL] process {proc_id} mesh={axes} shard "
+                      f"{shard.index}: mismatch vs golden", flush=True)
+                return 1
+            checked += 1
     assert checked > 0, "process owned no output shards"
     print(f"[OK] multihost worker process={proc_id} shards={checked} "
-          "bit-exact", flush=True)
+          "bit-exact (incl. cross-process halo ring)", flush=True)
     return 0
 
 

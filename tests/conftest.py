@@ -12,16 +12,22 @@ import os
 # knob must be set too): unit tests must be hermetic and multi-device.
 # Set WFT_TEST_PLATFORM=tpu to run the suite on real hardware instead.
 _platform = os.environ.get("WFT_TEST_PLATFORM", "cpu")
-os.environ["JAX_PLATFORMS"] = _platform
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if _platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    jax.config.update("jax_platforms", _platform)
+# WFT_TEST_PLATFORM=tpu: leave platform selection to the environment —
+# naming 'tpu' explicitly asks for the native TPU plugin, which fails
+# behind PJRT tunnels that register under their own platform name (the
+# axon plugin here); the default selection picks the real chip.
 
 import sys
 from pathlib import Path
@@ -73,6 +79,21 @@ def pytest_configure(config):
 @pytest.fixture
 def rng() -> np.random.Generator:
     return np.random.default_rng(20260817)
+
+
+@pytest.fixture
+def require_devices():
+    """Take the first n devices, skipping when fewer exist (e.g. the
+    on-hardware run sees ONE real chip instead of the 8-device virtual
+    CPU mesh)."""
+
+    def _take(n: int):
+        devs = jax.devices()
+        if len(devs) < n:
+            pytest.skip(f"needs {n} devices, have {len(devs)}")
+        return devs[:n]
+
+    return _take
 
 
 @pytest.fixture

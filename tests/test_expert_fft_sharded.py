@@ -17,9 +17,9 @@ from warmup_fir_filter_tpu.parallel.fft_sharded import (
 )
 
 
-@pytest.fixture(scope="module")
-def mesh4():
-    return make_mesh({"data": 4}, devices=jax.devices()[:4])
+@pytest.fixture
+def mesh4(require_devices):
+    return make_mesh({"data": 4}, devices=require_devices(4))
 
 
 class TestExpertParallel:
@@ -51,8 +51,8 @@ class TestExpertParallel:
 
 
 class TestShardedOverlapSave:
-    def test_matches_unsharded_fft_path(self, rng):
-        mesh = make_mesh({"data": 1, "time": 4}, devices=jax.devices()[:4])
+    def test_matches_unsharded_fft_path(self, rng, require_devices):
+        mesh = make_mesh({"data": 1, "time": 4}, devices=require_devices(4))
         h = rng.uniform(-0.2, 0.2, 63)
         x = rng.integers(0, 256, size=(3, 4 * 2048), dtype=np.uint8)
         sharded = np.asarray(
@@ -64,8 +64,8 @@ class TestShardedOverlapSave:
         single = np.asarray(fir_overlap_save(x, h), np.float64)
         np.testing.assert_allclose(sharded, single, atol=2e-2)
 
-    def test_2d_mesh_channels_and_time(self, rng):
-        mesh = make_mesh({"data": 2, "time": 4}, devices=jax.devices()[:8])
+    def test_2d_mesh_channels_and_time(self, rng, require_devices):
+        mesh = make_mesh({"data": 2, "time": 4}, devices=require_devices(8))
         h = rng.uniform(-0.1, 0.1, 31)
         x = rng.integers(0, 256, size=(4, 4 * 1024), dtype=np.uint8)
         sharded = np.asarray(
@@ -74,10 +74,10 @@ class TestShardedOverlapSave:
         ideal = fir1d_ideal_golden_rows(x, h)
         assert snr_db(ideal, sharded) > 70.0
 
-    def test_small_shard_with_short_nfft(self, rng):
+    def test_small_shard_with_short_nfft(self, rng, require_devices):
         # Shard length not a multiple of the FFT hop exercises the tail
         # truncation path.
-        mesh = make_mesh({"data": 1, "time": 4}, devices=jax.devices()[:4])
+        mesh = make_mesh({"data": 1, "time": 4}, devices=require_devices(4))
         h = np.zeros(9)
         h[4] = 1.0  # identity
         x = rng.integers(0, 256, size=(2, 4 * 100), dtype=np.uint8)
@@ -86,15 +86,15 @@ class TestShardedOverlapSave:
         )
         np.testing.assert_allclose(out, x.astype(np.float32), atol=1e-3)
 
-    def test_indivisible_rejected(self, rng):
-        mesh = make_mesh({"data": 1, "time": 4}, devices=jax.devices()[:4])
+    def test_indivisible_rejected(self, rng, require_devices):
+        mesh = make_mesh({"data": 1, "time": 4}, devices=require_devices(4))
         with pytest.raises(ValueError, match="not divisible"):
             fir_overlap_save_sharded(
                 np.zeros((2, 101), np.uint8), np.ones(5) * 0.1, mesh=mesh
             )
 
-    def test_pallas_backend_matches_jnp_backend(self, rng):
-        mesh = make_mesh({"data": 2, "time": 4}, devices=jax.devices()[:8])
+    def test_pallas_backend_matches_jnp_backend(self, rng, require_devices):
+        mesh = make_mesh({"data": 2, "time": 4}, devices=require_devices(8))
         h = rng.uniform(-0.1, 0.1, 63)
         x = rng.integers(0, 256, size=(4, 4 * 2048), dtype=np.uint8)
         ref = np.asarray(
@@ -108,8 +108,8 @@ class TestShardedOverlapSave:
         np.testing.assert_allclose(got, ref, atol=5e-2)
         assert snr_db(ref, got) > 80.0
 
-    def test_unknown_backend_rejected(self, rng):
-        mesh = make_mesh({"data": 1, "time": 4}, devices=jax.devices()[:4])
+    def test_unknown_backend_rejected(self, rng, require_devices):
+        mesh = make_mesh({"data": 1, "time": 4}, devices=require_devices(4))
         with pytest.raises(ValueError, match="backend"):
             fir_overlap_save_sharded(
                 np.zeros((2, 400), np.uint8), np.ones(5) * 0.1,

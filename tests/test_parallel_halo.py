@@ -16,11 +16,9 @@ from warmup_fir_filter_tpu.ops.qformat import QFormat
 from warmup_fir_filter_tpu.parallel import fir1d_fixed_sharded, make_mesh
 
 
-@pytest.fixture(scope="module")
-def devices():
-    devs = jax.devices()
-    assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
-    return devs
+@pytest.fixture
+def devices(require_devices):
+    return require_devices(8)
 
 
 def _random(rng, c, t):

@@ -11,11 +11,9 @@ from warmup_fir_filter_tpu.parallel.reshard import (
 )
 
 
-@pytest.fixture(scope="module")
-def mesh4():
-    devs = jax.devices()
-    assert len(devs) >= 4
-    return make_mesh({"data": 4}, devices=devs[:4])
+@pytest.fixture
+def mesh4(require_devices):
+    return make_mesh({"data": 4}, devices=require_devices(4))
 
 
 def test_roundtrip_identity(rng, mesh4):

@@ -8,6 +8,7 @@ are bit-checked against it.
 
 from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
 from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
+from warmup_fir_filter_tpu.kernels.fir_float_mxu import fir1d_ideal_rows_mxu
 from warmup_fir_filter_tpu.kernels.fir2d_mxu import (
     fir2d_fixed_frame,
     fir2d_fixed_mxu,
@@ -23,6 +24,7 @@ from warmup_fir_filter_tpu.kernels.dispatch import fir1d_fixed_rows_auto
 __all__ = [
     "fir1d_fixed_rows_pallas",
     "fir1d_fixed_rows_mxu",
+    "fir1d_ideal_rows_mxu",
     "fir2d_fixed_mxu",
     "fir2d_fixed_frame",
     "pad_frame",

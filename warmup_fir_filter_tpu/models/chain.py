@@ -33,8 +33,9 @@ class ChainConfig:
     channelizer_cutoff: float = 0.25
     demod_k_f: float = 0.05
     use_fft_channelizer: bool = True
-    #: "auto" → fused Pallas matmul-FFT kernel on TPU, jnp.fft elsewhere;
-    #: "jnp" / "pallas" force a backend.
+    #: "auto" → direct f32 MXU band kernel (the fastest path at ≤257
+    #: taps, ~30× the FFT kernel — docs/architecture.md); "mxu" /
+    #: "pallas" (fused matmul-FFT) / "jnp" (jnp.fft) force a backend.
     channelizer_backend: str = "auto"
 
     def resample_filter(self) -> np.ndarray:
@@ -57,8 +58,20 @@ def chain_forward(re, im, config: ChainConfig = ChainConfig()) -> jax.Array:
     if config.use_fft_channelizer:
         backend = config.channelizer_backend
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-        if backend == "pallas":
+            backend = "mxu" if config.channelizer_taps <= 257 else (
+                "pallas" if jax.default_backend() == "tpu" else "jnp")
+        if backend == "mxu":
+            from warmup_fir_filter_tpu.kernels.fir_float_mxu import (
+                fir1d_ideal_rows_mxu,
+            )
+
+            # One MXU pass over both I/Q planes (stacked as extra rows).
+            channels = re_rs.shape[0]
+            both = fir1d_ideal_rows_mxu(
+                jnp.concatenate([re_rs, im_rs], axis=0), h_ch
+            )
+            re_ch, im_ch = both[:channels], both[channels:]
+        elif backend == "pallas":
             from warmup_fir_filter_tpu.kernels.fft_pallas import (
                 fir_overlap_save_pallas,
             )

@@ -122,18 +122,67 @@ def resample_poly_fixed_golden(
     return saturate_pixel_np(bias_round_shift_np(acc, qformat.frac_bits))
 
 
-@partial(jax.jit, static_argnames=("num_branches", "out_len"))
-def _poly_float_core(x_f32, taps_f32, branch, anchor, num_branches, out_len):
-    channels = x_f32.shape[0]
-    n = x_f32.shape[1]
-    xp = jnp.pad(x_f32, ((0, 0), (num_branches, num_branches)))
-    acc = jnp.zeros((channels, out_len), jnp.float32)
-    for j in range(num_branches):
-        src = anchor - j
-        idx = jnp.clip(src + num_branches, 0, xp.shape[1] - 1)
-        valid = (src >= 0) & (src < n)
-        acc = acc + jnp.where(valid, taps_f32[branch, j] * xp[:, idx], 0.0)
-    return acc
+def _phase_plan(up: int, down: int, center: int, out_len: int):
+    """Static per-phase decomposition of the output stream.
+
+    Outputs split into ``P = up`` interleaved phases: phase ``t`` holds
+    the outputs ``m ≡ t (mod P)``, whose polyphase branch is constant
+    (``r_t = (t·Q + c) mod P``) and whose input anchor is affine
+    (``a0_t + Q·k`` for the k-th output of the phase).  This turns the
+    per-output gather formulation into **strided slices** — TPU gathers
+    over megasample index vectors measured ~60× off the roofline (see
+    docs/architecture.md), strided ``lax.slice`` is a plain DMA pattern.
+    """
+    plan = []
+    for t in range(up):
+        u = t * down + center
+        r = u % up
+        a0 = (u - r) // up
+        count = -(-max(out_len - t, 0) // up)  # outputs m = t, t+P, ...
+        plan.append((r, a0, count))
+    return tuple(plan)
+
+
+def _poly_core(xp, taps_np, plan, up, down, num_branches, pad_left, dtype):
+    """Shared gather-free polyphase accumulation over padded rows.
+
+    ``xp`` is pre-padded so every ``a0 - j`` index is in bounds; the pad
+    zeros realize the golden contract's out-of-range zero contributions
+    exactly.  Returns the phase-interleaved (C, ceil·P) accumulator
+    (callers crop to ``out_len``).
+    """
+    channels = xp.shape[0]
+    max_count = max(count for _, _, count in plan)
+    phases = []
+    for r, a0, count in plan:
+        acc_t = jnp.zeros((channels, max_count), dtype)
+        for j in range(num_branches):
+            tap = taps_np[r, j]
+            if tap == 0:
+                continue
+            start = pad_left + a0 - j
+            sl = jax.lax.slice(
+                xp,
+                (0, start),
+                (channels, start + down * (max_count - 1) + 1),
+                (1, down),
+            )
+            acc_t = acc_t + dtype(tap) * sl
+        phases.append(acc_t)
+    # Interleave phases: output m = t + P·k ↔ (k, t) in the stacked view.
+    return jnp.stack(phases, axis=-1).reshape(channels, max_count * up)
+
+
+@partial(jax.jit, static_argnames=("plan", "up", "down", "num_branches",
+                                   "out_len", "taps_key"))
+def _poly_float_core(x_f32, plan, up, down, num_branches, out_len, taps_key):
+    pad_left = num_branches
+    pad_right = down * (max(c for _, _, c in plan)) + num_branches
+    xp = jnp.pad(x_f32, ((0, 0), (pad_left, pad_right)))
+    taps_np = np.frombuffer(taps_key[0], np.float64).reshape(taps_key[1])
+    out = _poly_core(xp, taps_np, plan, up, down, num_branches, pad_left,
+                     jnp.float32)
+    return out[:, :out_len]
 
 
 def resample_poly(x, h, up: int, down: int) -> jax.Array:
@@ -141,32 +190,29 @@ def resample_poly(x, h, up: int, down: int) -> jax.Array:
     h64 = np.asarray(h, np.float64)
     x_f32 = jnp.asarray(x, jnp.float32)
     n = int(x_f32.shape[1])
-    out_len, branch, anchor, _ = _plan(n, up, down, h64.size)
+    out_len, _, _, center = _plan(n, up, down, h64.size)
     taps = _polyphase_taps(h64, up)
+    plan = _phase_plan(up, down, center, out_len)
+    # Taps ride the static cache key (they are host constants baked into
+    # the unrolled kernel; hash via bytes).
+    taps_key = (taps.tobytes(), taps.shape)
     return _poly_float_core(
-        x_f32,
-        jnp.asarray(taps, jnp.float32),
-        jnp.asarray(branch),
-        jnp.asarray(anchor),
-        int(taps.shape[1]),
-        out_len,
+        x_f32, plan, up, down, int(taps.shape[1]), out_len, taps_key
     )
 
 
-@partial(jax.jit, static_argnames=("num_branches", "out_len", "frac_bits",
-                                   "acc_bits"))
-def _poly_fixed_core(x_i32, taps_i32, branch, anchor, num_branches, out_len,
-                     frac_bits, acc_bits):
-    channels = x_i32.shape[0]
-    n = x_i32.shape[1]
-    xp = jnp.pad(x_i32, ((0, 0), (num_branches, num_branches)))
-    acc = jnp.zeros((channels, out_len), jnp.int32)
-    for j in range(num_branches):
-        src = anchor - j
-        idx = jnp.clip(src + num_branches, 0, xp.shape[1] - 1)
-        valid = (src >= 0) & (src < n)
-        acc = acc + jnp.where(valid, taps_i32[branch, j] * xp[:, idx], 0)
-    return fixed_epilogue_i32(acc, frac_bits, acc_bits)
+@partial(jax.jit, static_argnames=("plan", "up", "down", "num_branches",
+                                   "out_len", "frac_bits", "acc_bits",
+                                   "taps_key"))
+def _poly_fixed_core(x_i32, plan, up, down, num_branches, out_len,
+                     frac_bits, acc_bits, taps_key):
+    pad_left = num_branches
+    pad_right = down * (max(c for _, _, c in plan)) + num_branches
+    xp = jnp.pad(x_i32, ((0, 0), (pad_left, pad_right)))
+    taps_np = np.frombuffer(taps_key[0], np.int64).reshape(taps_key[1])
+    acc = _poly_core(xp, taps_np, plan, up, down, num_branches, pad_left,
+                     jnp.int32)
+    return fixed_epilogue_i32(acc[:, :out_len], frac_bits, acc_bits)
 
 
 def resample_poly_fixed(
@@ -178,18 +224,14 @@ def resample_poly_fixed(
             f"acc_bits={qformat.acc_bits} > 32 is not representable in the "
             "int32 TPU sim path; use resample_poly_fixed_golden."
         )
-    h_fixed = qformat.quantize_coeffs(np.asarray(h)).astype(np.int32)
+    h_fixed = qformat.quantize_coeffs(np.asarray(h)).astype(np.int64)
     x_i32 = jnp.asarray(x_u8, jnp.int32)
     n = int(x_i32.shape[1])
-    out_len, branch, anchor, _ = _plan(n, up, down, h_fixed.size)
+    out_len, _, _, center = _plan(n, up, down, h_fixed.size)
     taps = _polyphase_taps(h_fixed, up)
+    plan = _phase_plan(up, down, center, out_len)
+    taps_key = (taps.tobytes(), taps.shape)
     return _poly_fixed_core(
-        x_i32,
-        jnp.asarray(taps),
-        jnp.asarray(branch),
-        jnp.asarray(anchor),
-        int(taps.shape[1]),
-        out_len,
-        qformat.frac_bits,
-        qformat.acc_bits,
+        x_i32, plan, up, down, int(taps.shape[1]), out_len,
+        qformat.frac_bits, qformat.acc_bits, taps_key,
     )
