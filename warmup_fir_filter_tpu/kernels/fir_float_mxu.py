@@ -213,10 +213,40 @@ def fir1d_ideal_rows_mxu(
     x_f32 = jnp.asarray(x, dtype=jnp.float32)
     batch, n = x_f32.shape
     lanes = max(1, _round_up(n, LANE) // LANE)
-    if num_taps > MAX_TAPS or lanes > MAX_FULLROW_LANES:
+    if num_taps > MAX_TAPS:
         from warmup_fir_filter_tpu.ops.fir1d import fir1d_ideal_rows_jnp
 
         return fir1d_ideal_rows_jnp(x, h)
+    if lanes > MAX_FULLROW_LANES:
+        # Wide rows: overlap-save segmentation — fold time into batch
+        # rows with L-1 halo margins so every segment is an independent
+        # row of the full-row kernel (central outputs see no zero-pad).
+        center = num_taps // 2
+        e = num_taps - 1 - center
+        seg = (MAX_FULLROW_LANES // 2) * LANE
+        num_seg = -(-n // seg)
+        xp = jnp.pad(x_f32, ((0, 0), (e, num_seg * seg - n + center)))
+        windows = jnp.concatenate(
+            [
+                jax.lax.slice(
+                    xp, (0, s * seg), (batch, s * seg + seg + e + center)
+                )
+                for s in range(num_seg)
+            ],
+            axis=0,
+        )  # (S·B, seg + L - 1), segment-major
+        out_ext = fir1d_ideal_rows_mxu(
+            windows, h, precision=precision, block_rows=block_rows,
+            interpret=interpret,
+        )
+        core = out_ext[:, e : e + seg]
+        # (S·B, seg) → (B, S·seg) → crop; segments are stacked along
+        # axis 0 in s-major order.
+        out = jnp.concatenate(
+            [core[s * batch : (s + 1) * batch] for s in range(num_seg)],
+            axis=1,
+        )
+        return out[:, :n]
 
     a_prev, a_cur, a_next = build_tile_band_planes_f32(h)
     center = num_taps // 2

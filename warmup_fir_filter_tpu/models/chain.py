@@ -52,8 +52,16 @@ def chain_forward(re, im, config: ChainConfig = ChainConfig()) -> jax.Array:
     h_rs = config.resample_filter()
     h_ch = config.channelizer_filter()
 
-    re_rs = resample_poly(re, h_rs, config.resample_up, config.resample_down)
-    im_rs = resample_poly(im, h_rs, config.resample_up, config.resample_down)
+    # One resampler pass over both I/Q planes stacked as extra rows —
+    # row-poor (C, T) inputs underuse the VPU sublanes, and one call
+    # halves the fixed stage overheads.
+    channels = jnp.asarray(re).shape[0]
+    both_rs = resample_poly(
+        jnp.concatenate([jnp.asarray(re, jnp.float32),
+                         jnp.asarray(im, jnp.float32)], axis=0),
+        h_rs, config.resample_up, config.resample_down,
+    )
+    re_rs, im_rs = both_rs[:channels], both_rs[channels:]
 
     if config.use_fft_channelizer:
         backend = config.channelizer_backend
@@ -66,10 +74,7 @@ def chain_forward(re, im, config: ChainConfig = ChainConfig()) -> jax.Array:
             )
 
             # One MXU pass over both I/Q planes (stacked as extra rows).
-            channels = re_rs.shape[0]
-            both = fir1d_ideal_rows_mxu(
-                jnp.concatenate([re_rs, im_rs], axis=0), h_ch
-            )
+            both = fir1d_ideal_rows_mxu(both_rs, h_ch)
             re_ch, im_ch = both[:channels], both[channels:]
         elif backend == "pallas":
             from warmup_fir_filter_tpu.kernels.fft_pallas import (

@@ -150,9 +150,30 @@ def _poly_core(xp, taps_np, plan, up, down, num_branches, pad_left, dtype):
     zeros realize the golden contract's out-of-range zero contributions
     exactly.  Returns the phase-interleaved (C, ceil·P) accumulator
     (callers crop to ``out_len``).
+
+    Data movement: ONE phase-split relayout up front — ``xp`` reshaped
+    to ``(C, T/Q, Q)`` and transposed so each downsample phase is a
+    contiguous row — then every tap contribution is a *contiguous*
+    static slice.  (Earlier formulations paid 60×: per-output index
+    gathers first, then per-tap stride-Q ``lax.slice``s, both of which
+    lower to relayout passes per tap on TPU.)
     """
     channels = xp.shape[0]
     max_count = max(count for _, _, count in plan)
+    # Split the Q downsample phases ONCE (Q strided slices — the only
+    # non-contiguous accesses); every tap contribution below is then a
+    # contiguous static slice of a phase.  (A reshape-to-(…, Q) split
+    # was 2× worse: a 3-wide minor dim occupies 3/128 lanes of every
+    # tile.)
+    total = xp.shape[1]
+    total_q = -(-total // down)
+    if total_q * down != total:
+        xp = jnp.pad(xp, ((0, 0), (0, total_q * down - total)))
+    xq = [
+        jax.lax.slice(xp, (0, q), (channels, total_q * down), (1, down))
+        for q in range(down)
+    ]
+
     phases = []
     for r, a0, count in plan:
         acc_t = jnp.zeros((channels, max_count), dtype)
@@ -161,12 +182,8 @@ def _poly_core(xp, taps_np, plan, up, down, num_branches, pad_left, dtype):
             if tap == 0:
                 continue
             start = pad_left + a0 - j
-            sl = jax.lax.slice(
-                xp,
-                (0, start),
-                (channels, start + down * (max_count - 1) + 1),
-                (1, down),
-            )
+            q, k0 = start % down, start // down
+            sl = jax.lax.slice(xq[q], (0, k0), (channels, k0 + max_count))
             acc_t = acc_t + dtype(tap) * sl
         phases.append(acc_t)
     # Interleave phases: output m = t + P·k ↔ (k, t) in the stacked view.
