@@ -67,9 +67,8 @@ class TestChain:
         corr = np.corrcoef(out[0, core], expected[core])[0, 1]
         assert corr > 0.99
 
-    def test_sharded_chain_matches_single_device(self, rng):
-        devs = jax.devices()
-        mesh = make_mesh({"data": 4}, devices=devs[:4])
+    def test_sharded_chain_matches_single_device(self, rng, require_devices):
+        mesh = make_mesh({"data": 4}, devices=require_devices(4))
         config = ChainConfig(channelizer_taps=33)
         message = rng.uniform(-1, 1, size=(8, 1200))
         re, im = fm_modulate(message, config.demod_k_f)
@@ -79,8 +78,8 @@ class TestChain:
         sharded = np.asarray(chain_forward_sharded(re, im, config, mesh=mesh))
         np.testing.assert_allclose(sharded, single, atol=1e-5)
 
-    def test_indivisible_channels_rejected(self, rng):
-        mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+    def test_indivisible_channels_rejected(self, rng, require_devices):
+        mesh = make_mesh({"data": 4}, devices=require_devices(4))
         with pytest.raises(ValueError, match="divisible"):
             chain_forward_sharded(np.ones((3, 600)), np.ones((3, 600)),
                                   mesh=mesh)

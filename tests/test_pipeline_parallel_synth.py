@@ -35,7 +35,9 @@ class TestPipelinedChain:
         out = chain.run_microbatches(batches)
         for got, batch in zip(out, batches):
             expected = np.tanh(batch * 2.0).sum(axis=-1)
-            np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+            # Looser tolerance: TPU tanh differs from numpy's at ~1e-5
+            # relative before the 16-element reduction.
+            np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
 
     def test_single_device_degrades_gracefully(self, rng):
         chain = PipelinedChain([lambda x: x + 1], devices=jax.devices()[:1])
