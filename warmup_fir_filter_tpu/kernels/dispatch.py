@@ -9,7 +9,7 @@ path              5-tap Gsps  63-tap Gsps  257-tap Gsps
 MXU band matmul       316         252          240
 Pallas VPU MAC         68          ~5           —
 jnp/XLA                27          ~3           —
-FFT overlap-save      ~3.2         3.2          3.2  (float, not bit-exact)
+FFT overlap-save      ~4.2         4.2          4.2  (float, not bit-exact)
 ================  ==========  ===========  ============
 
 The int8 MXU eats taps nearly for free (adding taps only adds band

@@ -135,13 +135,32 @@ def _auto_block_rows(nfft: int, batch: int) -> int:
 
 #: DFT matmuls need better-than-bf16 precision: the MXU's default single
 #: bf16 pass costs ~3e-3 relative error on a 512-point transform
-#: (measured), which blows the overlap-save SNR contract.  HIGHEST
-#: restores ~1e-7.  (Precision.HIGH is not implemented by Mosaic.)
-_dot = functools.partial(
+#: (measured), which blows the overlap-save SNR contract.
+#: ``Precision.HIGHEST`` restores ~1e-7 but its 6-pass f32 emulation
+#: serializes with DMA inside Pallas (measured on the float FIR kernel,
+#: docs/architecture.md); a manual bf16 hi+lo split with three bf16
+#: dots (hi·hi + lo·hi + hi·lo) reaches ~1e-6 relative at half the MXU
+#: passes.  (Mosaic lowers neither ``Precision.HIGH`` nor
+#: ``DotAlgorithmPreset``s, so the split is explicit.)
+_dot_f32 = functools.partial(
     jnp.dot,
     preferred_element_type=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
 )
+_dot_bf16 = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot(a, b):
+    """bf16x3 f32-accurate matmul (see note above)."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    return _dot_bf16(ah, bh) + _dot_bf16(al, bh) + _dot_bf16(ah, bl)
 
 #: Outer DFT factors with N1 ≤ this run on the VPU as unrolled
 #: scalar-broadcast FMAs: an (N1, N1) @ (N1, C) matmul with N1 ≈ 4 pads
