@@ -63,17 +63,17 @@ def config2_stream_snr(results: dict, scale: int) -> None:
 
 def config3_fir2d(results: dict) -> None:
     """5x5 fixed 2D FIR on 512x512 tiles, sim-vs-model cross-check."""
+    from warmup_fir_filter_tpu.kernels.dispatch import fir2d_fixed_auto
     from warmup_fir_filter_tpu.ops.fir2d import (
         FILTER_BANK_2D,
         fir2d_fixed_golden,
-        fir2d_fixed_jnp,
         fir2d_ideal_golden,
     )
 
     rng = np.random.default_rng(3)
     x = rng.integers(0, 256, size=(512, 512), dtype=np.uint8)
     h = FILTER_BANK_2D["gauss5"]
-    sim = np.asarray(fir2d_fixed_jnp(x, h))
+    sim = np.asarray(fir2d_fixed_auto(x, h))
     bit_ok = bool(np.array_equal(sim, fir2d_fixed_golden(x, h)))
     model = fir2d_ideal_golden(x, h)
     rmse = float(np.sqrt(np.mean((sim.astype(np.float64) - model) ** 2)))

@@ -137,3 +137,13 @@ class TestFrameAPI:
         with pytest.raises(ValueError, match="incompatible"):
             fir2d_fixed_frame(x_ext[:-1], h, core=(t0, h_img, w_img),
                               block_rows=br)
+
+
+def test_fir2d_auto_dispatch_bit_exact(rng):
+    from warmup_fir_filter_tpu.kernels.dispatch import fir2d_fixed_auto
+
+    h = FILTER_BANK_2D["gauss5"]
+    x = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(fir2d_fixed_auto(x, h)), fir2d_fixed_golden(x, h)
+    )

@@ -19,7 +19,10 @@ from warmup_fir_filter_tpu.kernels.fft_pallas import (
     fir_overlap_save_pallas,
     fir_overlap_save_quantized_pallas,
 )
-from warmup_fir_filter_tpu.kernels.dispatch import fir1d_fixed_rows_auto
+from warmup_fir_filter_tpu.kernels.dispatch import (
+    fir1d_fixed_rows_auto,
+    fir2d_fixed_auto,
+)
 
 __all__ = [
     "fir1d_fixed_rows_pallas",
@@ -32,4 +35,5 @@ __all__ = [
     "fir_overlap_save_pallas",
     "fir_overlap_save_quantized_pallas",
     "fir1d_fixed_rows_auto",
+    "fir2d_fixed_auto",
 ]
