@@ -2,8 +2,7 @@
 
 Measures the bit-exact Q4.12 fixed-point 5-tap FIR (the reference's
 headline workload, ``pipeline_fir_1d.py`` stage 3) in Msamples/s on one
-chip, across available backends (Pallas kernel, fused jnp/XLA path), and
-prints ONE JSON line::
+chip and prints ONE JSON line to stdout::
 
     {"metric": ..., "value": N, "unit": "Msamples/s/chip", "vs_baseline": N, ...}
 
@@ -12,14 +11,26 @@ compute path (the scalar-interpreted golden model,
 ``fir_1d_fixed_ref.py:95-128``), timed live on this machine when the
 reference checkout is present, else against a recorded measurement of it.
 
-Extra keys document the roofline: ``sol_msps`` is the HBM-bandwidth
-speed-of-light (uint8 in + uint8 out = 2 bytes/sample at ~819 GB/s on
-TPU v5e) and ``sol_fraction`` our achieved fraction.
+Robustness contract (learned from round 2, where a wedged secondary
+compile cost the whole artifact): the **primary backend (MXU) is
+measured first and the headline JSON line is printed and flushed
+immediately** — everything else (Pallas-VPU / jnp comparison backends,
+the practical-ceiling probe) is best-effort, emitted to *stderr*, and
+gated behind a wall-clock budget (env ``WFT_BENCH_BUDGET_S``, default
+240 s).  A persistent compilation cache (``.jax_cache/``) makes re-runs
+after any hang cheap.
+
+Roofline keys: ``sol_msps``/``sol_fraction`` are against the v5e
+datasheet HBM bandwidth (819 GB/s, 2 bytes/sample for u8 in + u8 out);
+``wall_msps``/``wall_fraction`` are against the *measured achievable*
+HBM wall of this chip (see ``docs/roofline.md``) — the datasheet number
+is not reachable by any real pass on this part.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -33,15 +44,42 @@ import numpy as np
 from warmup_fir_filter_tpu.utils.benchmarking import chained_throughput
 
 # TPU v5e HBM bandwidth (GB/s); the FIR moves 2 bytes/sample (u8 in+out).
-HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0}
 DEFAULT_HBM_GBPS = 819.0
 BYTES_PER_SAMPLE = 2.0
+
+#: Measured achievable HBM wall on this chip (docs/roofline.md, from
+#: bench_roofline.py 2026-08-20): the fastest ANY ≥160 MB
+#: 2-bytes-per-sample pass goes — bare in-place Pallas copy, fused XLA
+#: elementwise, and widen/narrow probes all converge to 313-329 Gsps.
+MEASURED_WALL_MSPS = 326_000.0
 
 # Reference scalar golden throughput measured in this container
 # (fallback when /root/reference is absent): ~0.57 Msamples/s.
 REFERENCE_MSPS_FALLBACK = 0.57
 
 BATCH, WIDTH = 19456, 8192  # ~159.4 Msamples, ≈160 MB in + 160 MB out
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent compile cache (opt-in via WFT_COMPILE_CACHE=1).
+
+    Off by default: enabling it through the axon PJRT tunnel HANGS the
+    first compile (observed 2026-08-20 — the plugin appears not to
+    support executable serialization; bench runs with the cache enabled
+    blew a 400 s budget while identical cache-less runs finished in
+    ~60 s).  On a normal TPU VM it makes re-runs after a hang cheap.
+    """
+    if os.environ.get("WFT_COMPILE_CACHE", "0") != "1":
+        return
+    import jax
+
+    cache_dir = os.path.join(_REPO_ROOT, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as exc:  # noqa: BLE001 — cache is an optimization only
+        print(f"# compilation cache unavailable: {exc}", file=sys.stderr)
 
 
 def _reference_msps(h) -> float:
@@ -65,14 +103,16 @@ def _reference_msps(h) -> float:
 
 
 def main() -> int:
+    start = time.perf_counter()
+    budget_s = float(os.environ.get("WFT_BENCH_BUDGET_S", "240"))
+    _enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
     from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
-    from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
     from warmup_fir_filter_tpu.models.filters import FILTER_BANK_5TAP
     from warmup_fir_filter_tpu.models.golden import fir1d_fixed_golden_rows
-    from warmup_fir_filter_tpu.ops.fir1d import fir1d_fixed_rows_jnp
 
     h = np.asarray(FILTER_BANK_5TAP["sharpen"])
     rng = np.random.default_rng(20260817)
@@ -84,60 +124,129 @@ def main() -> int:
     check = x[:64]
     golden = fir1d_fixed_golden_rows(check, h)
 
-    backends = {}
-    for name, fn in (
-        ("mxu", lambda a: fir1d_fixed_rows_mxu(a, h)),
-        ("pallas", lambda a: fir1d_fixed_rows_pallas(a, h)),
-        ("jnp", lambda a: fir1d_fixed_rows_jnp(a, h)),
-    ):
-        try:
-            if not np.array_equal(np.asarray(fn(jnp.asarray(check))), golden):
-                continue  # not bit-exact → disqualified
-            backends[name] = chained_throughput(fn, x_dev)["seconds_per_apply"]
-        except Exception as exc:  # noqa: BLE001 — a backend may be absent
-            print(f"# backend {name} failed: {exc}", file=sys.stderr)
-
-    if not backends:
-        print(json.dumps({"metric": "fixed5_fir_msps_per_chip", "value": 0.0,
-                          "unit": "Msamples/s/chip", "vs_baseline": 0.0,
-                          "error": "no backend produced bit-exact output"}))
-        return 1
-
-    best_name = min(backends, key=backends.get)
-    best_time = backends[best_name]
-    msps = num_samples / best_time / 1e6
-
     ref_msps = _reference_msps(h)
     sol_msps = DEFAULT_HBM_GBPS * 1e9 / BYTES_PER_SAMPLE / 1e6
 
-    # Practical ceiling of this chip/runtime for any op that must widen
-    # u8 → int32 and come back (the FIR's unavoidable dataflow): measured
-    # with a bare widen+add+clip+narrow pass for context on sol_fraction.
-    ceiling = chained_throughput(
-        lambda a: (a.astype(jnp.int32) + 1).clip(0, 255).astype(jnp.uint8),
-        x_dev,
+    # ---- Primary measurement: the MXU kernel, headline printed ASAP ----
+    primary_order = (
+        ("mxu", lambda a: fir1d_fixed_rows_mxu(a, h)),
     )
-    ceiling_msps = ceiling["samples_per_second"] / 1e6
 
-    result = {
-        "metric": "fixed5_fir_msps_per_chip",
-        "value": round(msps, 1),
-        "unit": "Msamples/s/chip",
-        "vs_baseline": round(msps / ref_msps, 1),
-        "backend": best_name,
-        "backends_msps": {
-            k: round(num_samples / v / 1e6, 1) for k, v in backends.items()
-        },
-        "workload": f"5-tap Q4.12 fixed FIR over {BATCH}x{WIDTH} uint8",
-        "device": str(jax.devices()[0]),
-        "reference_msps": round(ref_msps, 3),
-        "sol_msps": round(sol_msps, 1),
-        "sol_fraction": round(msps / sol_msps, 3),
-        "practical_ceiling_msps": round(ceiling_msps, 1),
-        "ceiling_fraction": round(msps / ceiling_msps, 3),
-        "bit_exact_vs_golden": True,
-    }
-    print(json.dumps(result))
+    def _secondary_backends():
+        from warmup_fir_filter_tpu.kernels.fir_pallas import (
+            fir1d_fixed_rows_pallas,
+        )
+        from warmup_fir_filter_tpu.ops.fir1d import fir1d_fixed_rows_jnp
+
+        return (
+            ("pallas", lambda a: fir1d_fixed_rows_pallas(a, h)),
+            ("jnp", lambda a: fir1d_fixed_rows_jnp(a, h)),
+        )
+
+    def _measure(name, fn):
+        if not np.array_equal(np.asarray(fn(jnp.asarray(check))), golden):
+            raise AssertionError(f"backend {name} is not bit-exact vs golden")
+        return chained_throughput(fn, x_dev)["seconds_per_apply"]
+
+    headline = None
+    backends_msps: dict[str, float] = {}
+    for name, fn in primary_order:
+        try:
+            secs = _measure(name, fn)
+        except Exception as exc:  # noqa: BLE001 — fall through to secondary
+            print(f"# primary backend {name} failed: {exc}", file=sys.stderr)
+            continue
+        msps = num_samples / secs / 1e6
+        backends_msps[name] = msps
+        headline = {
+            "metric": "fixed5_fir_msps_per_chip",
+            "value": round(msps, 1),
+            "unit": "Msamples/s/chip",
+            "vs_baseline": round(msps / ref_msps, 1),
+            "backend": name,
+            "workload": f"5-tap Q4.12 fixed FIR over {BATCH}x{WIDTH} uint8",
+            "device": str(jax.devices()[0]),
+            "reference_msps": round(ref_msps, 3),
+            "sol_msps": round(sol_msps, 1),
+            "sol_fraction": round(msps / sol_msps, 3),
+            "wall_msps": round(MEASURED_WALL_MSPS, 1),
+            "wall_fraction": round(msps / MEASURED_WALL_MSPS, 3),
+            "bit_exact_vs_golden": True,
+        }
+        break
+
+    if headline is None:
+        # MXU path unavailable: try the secondary backends for a headline.
+        for name, fn in _secondary_backends():
+            try:
+                secs = _measure(name, fn)
+            except Exception as exc:  # noqa: BLE001
+                print(f"# backend {name} failed: {exc}", file=sys.stderr)
+                continue
+            msps = num_samples / secs / 1e6
+            backends_msps[name] = msps
+            headline = {
+                "metric": "fixed5_fir_msps_per_chip",
+                "value": round(msps, 1),
+                "unit": "Msamples/s/chip",
+                "vs_baseline": round(msps / ref_msps, 1),
+                "backend": name,
+                "workload": f"5-tap Q4.12 fixed FIR over {BATCH}x{WIDTH} uint8",
+                "device": str(jax.devices()[0]),
+                "reference_msps": round(ref_msps, 3),
+                "sol_msps": round(sol_msps, 1),
+                "sol_fraction": round(msps / sol_msps, 3),
+                "wall_msps": round(MEASURED_WALL_MSPS, 1),
+                "wall_fraction": round(msps / MEASURED_WALL_MSPS, 3),
+                "bit_exact_vs_golden": True,
+            }
+            break
+
+    if headline is None:
+        print(json.dumps({"metric": "fixed5_fir_msps_per_chip", "value": 0.0,
+                          "unit": "Msamples/s/chip", "vs_baseline": 0.0,
+                          "error": "no backend produced bit-exact output"}))
+        sys.stdout.flush()
+        return 1
+
+    # THE artifact: one JSON line on stdout, flushed before anything else
+    # can hang.  Everything after this point is best-effort diagnostics.
+    print(json.dumps(headline))
+    sys.stdout.flush()
+
+    extras: dict = {"backends_msps": {
+        k: round(v, 1) for k, v in backends_msps.items()}}
+    try:
+        if headline["backend"] == "mxu":
+            for name, fn in _secondary_backends():
+                if time.perf_counter() - start > budget_s:
+                    extras["budget_exhausted_before"] = name
+                    break
+                try:
+                    secs = _measure(name, fn)
+                    extras["backends_msps"][name] = round(
+                        num_samples / secs / 1e6, 1)
+                except Exception as exc:  # noqa: BLE001
+                    extras["backends_msps"][name] = f"failed: {exc}"
+
+        if time.perf_counter() - start <= budget_s:
+            # Practical ceiling of this chip/runtime for any op that must
+            # widen u8 → int32 and come back (the FIR's unavoidable
+            # dataflow): a bare widen+add+clip+narrow pass.
+            ceiling = chained_throughput(
+                lambda a: (a.astype(jnp.int32) + 1).clip(0, 255).astype(
+                    jnp.uint8),
+                x_dev,
+            )
+            ceiling_msps = ceiling["samples_per_second"] / 1e6
+            extras["practical_ceiling_msps"] = round(ceiling_msps, 1)
+            extras["ceiling_fraction"] = round(
+                headline["value"] / ceiling_msps, 3)
+    except Exception as exc:  # noqa: BLE001 — extras must never cost the run
+        extras["error"] = str(exc)
+
+    extras["elapsed_s"] = round(time.perf_counter() - start, 1)
+    print(f"# extras: {json.dumps(extras)}", file=sys.stderr)
     return 0
 
 

@@ -53,6 +53,75 @@ def _best_time(fn, repeats: int) -> float:
     return best
 
 
+def _measure_spmd_pipeline(devices, num_stages, num_batches, delay_s):
+    """Overlap of the fully-compiled GPipe schedule (spmd_pipeline).
+
+    Sleep-weighted stages via ``pure_callback`` (sleeps don't trace into
+    XLA arithmetic, but callbacks DO execute per-device-thread, so
+    concurrent stages genuinely overlap on the virtual mesh — the same
+    device model PipelinedChain is measured under).  Pipelined wall
+    clock ≈ (T+S−1)·d vs the sequential chain's T·S·d.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from warmup_fir_filter_tpu.parallel import make_mesh
+    from warmup_fir_filter_tpu.parallel.spmd_pipeline import (
+        make_spmd_pipeline,
+    )
+
+    def sleep_cb(x):
+        time.sleep(delay_s)
+        return x
+
+    def stage_fn(s, x):
+        y = jax.pure_callback(
+            sleep_cb, jax.ShapeDtypeStruct(x.shape, x.dtype), x,
+            vmap_method="sequential",
+        )
+        return y + s.astype(jnp.float32)
+
+    mesh = make_mesh({"stage": num_stages}, devices=devices[:num_stages])
+    batches = jnp.asarray(
+        np.arange(num_batches * 4 * 8, dtype=np.float32).reshape(
+            num_batches, 4, 8)
+    )
+    run = make_spmd_pipeline(stage_fn, mesh=mesh)
+
+    @jax.jit
+    def seq(mb):
+        def apply_one(x):
+            y = x
+            for s in range(num_stages):
+                y = stage_fn(jnp.int32(s), y)
+            return y
+
+        return jax.lax.map(apply_one, mb)  # lax.map = sequential scan
+
+    out = np.asarray(run(batches))  # compile + warm + correctness
+    expected = np.asarray(batches) + sum(range(num_stages))
+    assert np.allclose(out, expected), "spmd_pipeline output mismatch"
+    np.asarray(seq(batches))
+
+    pp_s = _best_time(lambda: run(batches), 3)
+    seq_s = _best_time(lambda: seq(batches), 3)
+    speedup = seq_s / pp_s
+    theoretical = (num_batches * num_stages) / (
+        num_batches + num_stages - 1
+    )
+    return {
+        "speedup": round(speedup, 2),
+        "theoretical": round(theoretical, 2),
+        "fraction_of_theoretical": round(speedup / theoretical, 3),
+        "sequential_s": round(seq_s, 3),
+        "pipelined_s": round(pp_s, 3),
+        "stages": num_stages,
+        "microbatches": num_batches,
+        "stage_delay_s": delay_s,
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
@@ -144,6 +213,8 @@ def main() -> int:
             "pipelined_s": round(pp_s, 3),
             "stage_delay_s": delay_s,
         }
+        payload["spmd_pipeline"] = _measure_spmd_pipeline(
+            devices, num_stages, num_batches, delay_s)
     elif args.mode == "overhead":
         x = rng.integers(
             0, 256, size=(args.channels * n, args.time * n), dtype=np.uint8

@@ -78,8 +78,63 @@ def main() -> int:
                 return 1
             checked += 1
     assert checked > 0, "process owned no output shards"
+
+    # --- all_to_all: channel↔time reshard roundtrip across processes ---
+    # The flat 4-device axis spans both processes, so every all_to_all
+    # lane crosses the process (DCN) boundary.
+    from warmup_fir_filter_tpu.parallel.reshard import (
+        channel_to_time,
+        time_to_channel,
+    )
+
+    n_dev = 2 * num_procs
+    flip_mesh = make_mesh({"data": n_dev})
+    xb = (np.arange(n_dev * 4 * n_dev * 8) % 255).astype(
+        np.uint8).reshape(n_dev * 4, n_dev * 8)
+    flipped = channel_to_time(xb, mesh=flip_mesh)
+    back = time_to_channel(flipped, mesh=flip_mesh)
+    for shard in back.addressable_shards:
+        if not np.array_equal(np.asarray(shard.data), xb[shard.index]):
+            print(f"[FAIL] process {proc_id} all_to_all roundtrip shard "
+                  f"{shard.index}: mismatch", flush=True)
+            return 1
+
+    # --- psum: global metric reduction across process boundaries ---
+    # Each device reduces its local |fixed − ideal| sum; one psum yields
+    # the global MAE numerator on every device — the collective form of
+    # the report stage's overall rollup (SURVEY.md §3.3).
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from warmup_fir_filter_tpu.models.golden import fir1d_ideal_golden_rows
+
+    ideal = fir1d_ideal_golden_rows(x, h)
+    mesh = make_mesh({"data": 1, "time": n_dev})
+    sharding = NamedSharding(mesh, P("data", "time"))
+    fixed_g = jax.make_array_from_callback(
+        golden.shape, sharding, lambda idx: golden[idx])
+    ideal_g = jax.make_array_from_callback(
+        ideal.shape, sharding, lambda idx: ideal.astype(np.float64)[idx])
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("data", "time"),) * 2,
+             out_specs=P())
+    def _global_abs_err(fx, idl):
+        local = jnp.sum(jnp.abs(fx.astype(jnp.float64) - idl))
+        return jax.lax.psum(jax.lax.psum(local, "time"), "data")[None]
+
+    got_sum = float(np.asarray(jax.jit(_global_abs_err)(fixed_g, ideal_g))[0])
+    want_sum = float(np.abs(golden.astype(np.float64) - ideal).sum())
+    if abs(got_sum - want_sum) > 1e-6 * max(want_sum, 1.0):
+        print(f"[FAIL] process {proc_id} psum metric reduction: "
+              f"{got_sum} != {want_sum}", flush=True)
+        return 1
+
     print(f"[OK] multihost worker process={proc_id} shards={checked} "
-          "bit-exact (incl. cross-process halo ring)", flush=True)
+          "bit-exact (incl. cross-process halo ring); all_to_all "
+          "roundtrip + psum metric reduction crossed the process "
+          "boundary", flush=True)
     return 0
 
 

@@ -70,3 +70,4 @@ def test_two_process_distributed_fir_bit_exact():
         )
         assert f"[OK] multihost worker process={pid}" in out, out
         assert "bit-exact" in out
+        assert "all_to_all roundtrip + psum metric reduction" in out

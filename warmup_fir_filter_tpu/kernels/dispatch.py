@@ -1,7 +1,8 @@
 """Backend auto-dispatch for the bit-exact fixed-point FIR.
 
 Measured single-chip throughput on the 5-tap Q4.12 headline workload
-(TPU v5e, see bench.py / BENCH_r02.json) and wider filters:
+(TPU v5e, measured via ``bench.py`` — methodology and roofline context
+in ``docs/roofline.md``) and wider filters:
 
 ================  ==========  ===========  ============
 path              5-tap Gsps  63-tap Gsps  257-tap Gsps
@@ -23,7 +24,12 @@ from __future__ import annotations
 
 import jax
 
-from warmup_fir_filter_tpu.kernels.fir_mxu import MAX_TAPS, fir1d_fixed_rows_mxu
+from warmup_fir_filter_tpu.kernels.fir_mxu import (
+    MAX_TAPS,
+    MAX_TAPS_WINDOWED,
+    fir1d_fixed_rows_mxu,
+    fir1d_fixed_rows_mxu_window,
+)
 from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
 from warmup_fir_filter_tpu.ops.qformat import QFormat
 
@@ -31,16 +37,21 @@ from warmup_fir_filter_tpu.ops.qformat import QFormat
 def fir1d_fixed_rows_auto(x_u8, h, qformat: QFormat = QFormat()) -> jax.Array:
     """Bit-exact fixed FIR via the fastest available backend.
 
-    MXU band-matmul kernel when the tap count fits its tri-tile band
-    (L ≤ 257 = ``fir_mxu.MAX_TAPS``), else the Pallas VPU kernel.  Both are bit-exact against the golden
-    contract for every tpu-native QFormat; callers needing acc_bits > 32
-    must use ``models.golden.fir1d_fixed_golden_rows``.
+    Tri-tile MXU band-matmul kernel when the tap count fits its band
+    (L ≤ 257 = ``fir_mxu.MAX_TAPS``); the windowed-band MXU kernel
+    (chunked contiguous-window matmuls, still >100 Gsps) up to
+    L ≤ ``MAX_TAPS_WINDOWED`` = 4096; the Pallas VPU kernel beyond.
+    All are bit-exact against the golden contract for every tpu-native
+    QFormat; callers needing acc_bits > 32 must use
+    ``models.golden.fir1d_fixed_golden_rows``.
     """
     import numpy as np
 
     num_taps = int(np.asarray(h).size)
     if num_taps <= MAX_TAPS:
         return fir1d_fixed_rows_mxu(x_u8, h, qformat)
+    if num_taps <= MAX_TAPS_WINDOWED:
+        return fir1d_fixed_rows_mxu_window(x_u8, h, qformat)
     return fir1d_fixed_rows_pallas(x_u8, h, qformat)
 
 

@@ -81,6 +81,10 @@ DEFAULT_BLOCK_ROWS = 512
 DEFAULT_COL_TILES = 32  # fallback: output tiles/program; halo ×(C+2)/C
 MAX_TAPS = 2 * LANE + 1          # tri-tile band limit (this kernel)
 MAX_TAPS_TWO_TILE = LANE + 1     # two-tile [A0; A1] limit (2-D kernel)
+#: Windowed-band kernel tap limit: bounded by the VMEM band operand
+#: (≈ D·(L+127)·128 bytes) and by MXU MACs/sample = D·(L+127) staying a
+#: sane multiple of the memory roofline.
+MAX_TAPS_WINDOWED = 4096
 
 #: Full-row hot path: row width limit in lane tiles.  A block is
 #: ``BR × lanes·128`` bytes; at the 32-sublane u8 minimum BR this caps a
@@ -673,3 +677,334 @@ def fir1d_fixed_rows_mxu(
         interpret,
     )
     return out if n_pad == n else out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Windowed-band kernel: bit-exact fixed FIR at MXU speed for ANY tap count
+# up to MAX_TAPS_WINDOWED (generalizes the reference's scalar MAC loop,
+# fir_1d_fixed_ref.py:95-107, beyond the tri-tile L ≤ 257 limit).
+# ---------------------------------------------------------------------------
+
+
+def build_window_band_planes(
+    h_fixed: np.ndarray,
+) -> tuple[np.ndarray, tuple[tuple[int, int, int, int], ...]]:
+    """Stacked per-digit windowed band operands, row-trimmed per plane.
+
+    The windowed formulation: output tile ``p`` is ONE matmul per digit
+    plane against the contiguous input window starting ``left`` samples
+    before the tile (``left = L - 1 - L//2``)::
+
+        Y_p = X[:, p·128 - left : p·128 - left + K] @ A,
+        A[j, i] = digit[i + L - 1 - j],   K = L + 127
+
+    (derivation: output n = p·128+i reads input m = n - k + center, so
+    k = i + (L-1) - j with j = m - (p·128 - left)).  Unlike the tri-tile
+    split this is tile-count-independent, so it covers any L.
+
+    Each digit plane is trimmed to its nonzero tap range
+    ``[kmin_b, kmax_b]`` → rows ``j ∈ [L-1-kmax_b, L+127-kmin_b)``:
+    long filters concentrate large taps near the center, so the
+    high-byte plane's band is typically a small fraction of the low
+    plane's, cutting MXU MACs well below the naive ``D·(L+127)``/sample.
+
+    Returns ``(stacked, entries)`` — ``stacked`` is the row-concatenated
+    ``(ΣK_b, 128)`` int8 operand; each entry is
+    ``(exponent, j0, rows, offset)``: accumulation bit-shift, window-row
+    origin of the trimmed block, its row count, and its row offset in
+    ``stacked``.
+    """
+    h_fixed = np.asarray(h_fixed, dtype=np.int64)
+    num_taps = h_fixed.size
+    if num_taps > MAX_TAPS_WINDOWED:
+        raise ValueError(
+            f"windowed-band kernel supports up to {MAX_TAPS_WINDOWED} "
+            f"taps, got {num_taps}."
+        )
+    reduced, pow2 = factor_pow2(h_fixed)
+    digits = signed_base256_digits(reduced)  # (D, L)
+    i_idx = np.arange(LANE)[None, :]
+    blocks: list[np.ndarray] = []
+    entries: list[tuple[int, int, int, int]] = []
+    offset = 0
+    for b in range(digits.shape[0]):
+        digit = digits[b]
+        nz = np.flatnonzero(digit)
+        if nz.size == 0:
+            continue
+        kmin, kmax = int(nz[0]), int(nz[-1])
+        j0 = num_taps - 1 - kmax
+        rows = kmax - kmin + LANE
+        j_idx = j0 + np.arange(rows)[:, None]
+        k = i_idx + (num_taps - 1) - j_idx
+        valid = (k >= 0) & (k < num_taps)
+        a = np.zeros((rows, LANE), np.int8)
+        a[valid] = digit[k[valid]]
+        blocks.append(a)
+        entries.append((8 * b + pow2, j0, rows, offset))
+        offset += rows
+    if not entries:  # all-zero filter
+        blocks.append(np.zeros((1, LANE), np.int8))
+        entries.append((0, 0, 1, 0))
+    return np.concatenate(blocks, axis=0), tuple(entries)
+
+
+def _window_bias_table(
+    h_fixed: np.ndarray,
+    entries: tuple[tuple[int, int, int, int], ...],
+    bands: np.ndarray,
+    n_pad: int,
+    left: int,
+    rounding_bias: int,
+) -> np.ndarray:
+    """Per-tile int32 bias rows folding rebias + zero-pad edge constants.
+
+    Row ``tl`` holds ``128·Σh (+ 2^(fb-1) on the fast path)`` plus, for
+    edge tiles whose window reaches past [0, n_pad), the exact
+    contribution of the out-of-range positions: the golden contract
+    zero-pads there, and a zero re-biases to x̃ = −128, so the missing
+    dot rows contribute ``−128 · Σ_j A[j, :] << exp`` — a constant the
+    host can fold.  Everything reduced mod 2^32 (exact per the golden
+    wraparound contract).
+    """
+    col_tiles = n_pad // LANE
+    base = 128 * int(np.asarray(h_fixed, np.int64).sum()) + rounding_bias
+    table = np.full((col_tiles, LANE), base, dtype=np.int64)
+    for tl in range(col_tiles):
+        s0 = tl * LANE - left
+        for exp, j0, rows, off in entries:
+            sb = s0 + j0
+            lo, hi = max(sb, 0), min(sb + rows, n_pad)
+            if lo <= sb and hi >= sb + rows:
+                continue  # fully in range: no pad contribution
+            a = bands[off : off + rows].astype(np.int64)
+            inside = np.zeros(rows, dtype=bool)
+            inside[max(lo - sb, 0) : max(hi - sb, 0)] = True
+            pad_sum = a[~inside].sum(axis=0)
+            table[tl] += (-128 * pad_sum) << exp
+    table &= 0xFFFFFFFF
+    table[table >= 1 << 31] -= 1 << 32
+    return table.astype(np.int32)
+
+
+def _fir_mxu_window_kernel(
+    bias_tbl_ref,  # (col_tiles, 128) int32: per-tile bias (+edge consts)
+    bands_ref,     # (ΣK_b, 128) int8: stacked trimmed band planes
+    body_ref,      # (BR, N) uint8: full rows (aliased with the output)
+    o_ref,         # (BR, N) uint8 output
+    *,
+    entries: tuple[tuple[int, int, int, int], ...],
+    frac_bits: int,
+    acc_bits: int,
+    needs_wrap: bool,
+    left: int,
+):
+    block_rows, n = body_ref.shape
+    col_tiles = n // LANE
+    x_body = pltpu.bitcast(body_ref[:] ^ jnp.uint8(0x80), jnp.int8)
+
+    for tl in range(col_tiles):
+        acc = (jnp.zeros((block_rows, LANE), jnp.int32)
+               + bias_tbl_ref[tl][None, :])
+        s0 = tl * LANE - left
+        for exp, j0, rows, off in entries:
+            sb = s0 + j0
+            lo, hi = max(sb, 0), min(sb + rows, n)
+            if lo >= hi:
+                continue  # window fully out of range: edge const covers it
+            prod = jnp.dot(
+                x_body[:, lo:hi],
+                bands_ref[off + (lo - sb) : off + (hi - sb)],
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc + (prod << exp if exp else prod)
+
+        if needs_wrap:
+            if acc_bits < 32:
+                shift = 32 - acc_bits
+                acc = (acc << shift) >> shift
+            low = acc & ((1 << frac_bits) - 1)
+            carry = (low + (1 << (frac_bits - 1))) >> frac_bits
+            final = (acc >> frac_bits) + carry
+        else:
+            final = acc >> frac_bits
+
+        o_ref[:, tl * LANE : (tl + 1) * LANE] = (
+            jnp.clip(final, 0, 255).astype(jnp.uint8)
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("entries", "frac_bits", "acc_bits", "block_rows",
+                     "needs_wrap", "left", "interpret"),
+)
+def _fir_mxu_window(
+    x,         # (B, N) uint8, N a multiple of 128
+    bands,     # (ΣK_b, 128) int8 stacked band planes
+    bias_tbl,  # (N/128, 128) int32 per-tile bias table
+    entries: tuple,
+    frac_bits: int,
+    acc_bits: int,
+    block_rows: int,
+    needs_wrap: bool,
+    left: int,
+    interpret: bool,
+):
+    batch, n = x.shape
+    grid = (-(-batch // block_rows),)
+    row_spec = pl.BlockSpec((block_rows, n), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(bias_tbl.shape, lambda r: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(bands.shape, lambda r: (0, 0),
+                     memory_space=pltpu.VMEM),
+        row_spec,
+    ]
+    kernel = functools.partial(
+        _fir_mxu_window_kernel,
+        entries=entries,
+        frac_bits=frac_bits,
+        acc_bits=acc_bits,
+        needs_wrap=needs_wrap,
+        left=left,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, n), jnp.uint8),
+        # Race-free in-place update, same argument as the fullrow kernel.
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bias_tbl, bands, x)
+
+
+def fir1d_fixed_rows_mxu_window(
+    x_u8,
+    h,
+    qformat: QFormat = QFormat(),
+    *,
+    block_rows: int | None = None,
+    max_row_lanes: int = MAX_FULLROW_LANES,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Bit-exact fixed FIR on the MXU for any L ≤ ``MAX_TAPS_WINDOWED``.
+
+    Same golden contract as :func:`fir1d_fixed_rows_mxu`
+    (``/root/reference`` ``fir_1d_fixed_ref.py:12``), via the windowed
+    band formulation (:func:`build_window_band_planes`): one int8 matmul
+    per (lane tile × digit plane) against a contiguous ``L+127``-sample
+    window, zero-pad edges folded into a host-built per-tile bias table.
+
+    Rows wider than ``max_row_lanes`` lane tiles are overlap-save
+    segmented at the jnp level (exact — segment margins carry the true
+    neighboring samples) into full-row blocks; the two extra elementwise
+    passes this costs keep long streams row-rich instead of falling to
+    the ~5 Gsps VPU path.
+    """
+    if not qformat.tpu_native:
+        raise ValueError(
+            f"acc_bits={qformat.acc_bits} > 32 is not representable in the "
+            "int32 TPU sim path; use models.golden.fir1d_fixed_golden_rows."
+        )
+    h_fixed = qformat.quantize_coeffs(h).astype(np.int64)
+    num_taps = int(h_fixed.size)
+    center = num_taps // 2
+    left = num_taps - 1 - center
+    x_u8 = jnp.asarray(x_u8, dtype=jnp.uint8)
+    batch, n = x_u8.shape
+    interpret = (
+        (jax.default_backend() != "tpu") if interpret is None else interpret
+    )
+
+    lanes_needed = max(1, _round_up(n, LANE) // LANE)
+    if lanes_needed > max_row_lanes:
+        return _fir_window_segmented(
+            x_u8, h, qformat, block_rows=block_rows,
+            max_row_lanes=max_row_lanes, interpret=interpret,
+        )
+
+    bands, entries = build_window_band_planes(h_fixed)
+    worst_acc = (255 * int(np.abs(h_fixed).sum())
+                 + (1 << (qformat.frac_bits - 1)))
+    needs_wrap = worst_acc >= (1 << (qformat.acc_bits - 1))
+    rounding_bias = 0 if needs_wrap else (1 << (qformat.frac_bits - 1))
+
+    n_pad = lanes_needed * LANE
+    if n_pad != n:
+        x_u8 = jnp.pad(x_u8, ((0, 0), (0, n_pad - n)))
+    bias_tbl = _window_bias_table(
+        h_fixed, entries, bands, n_pad, left, rounding_bias)
+    if block_rows is None:
+        by_vmem = max(1, FULLROW_BLOCK_BYTES // n_pad)
+        block_rows = int(min(_round_up(max(batch, 1), 8),
+                             _round_up(by_vmem, 8)))
+    out = _fir_mxu_window(
+        x_u8,
+        jnp.asarray(bands),
+        jnp.asarray(bias_tbl),
+        entries,
+        qformat.frac_bits,
+        qformat.acc_bits,
+        block_rows,
+        needs_wrap,
+        left,
+        interpret,
+    )
+    return out if n_pad == n else out[:, :n]
+
+
+def _fir_window_segmented(
+    x_u8,
+    h,
+    qformat: QFormat,
+    *,
+    block_rows: int | None,
+    max_row_lanes: int,
+    interpret: bool,
+) -> jax.Array:
+    """Overlap-save segmentation of over-wide rows into full-row blocks.
+
+    Each segment window carries ``left`` true samples of left margin and
+    ``center`` of right margin (zeros at stream edges — exactly the
+    golden zero-pad), so the kernel's same-mode output over the window's
+    core equals the unsegmented output bit-for-bit; the core slices are
+    then re-assembled.  This is the jnp-level analogue of the streaming
+    delay line (``/root/reference`` ``fir_1d_ref.cpp:21-26``).
+    """
+    h_fixed = qformat.quantize_coeffs(h).astype(np.int64)
+    num_taps = int(h_fixed.size)
+    center = num_taps // 2
+    left = num_taps - 1 - center
+    batch, n = x_u8.shape
+
+    window = max_row_lanes * LANE
+    seg = window - _round_up(num_taps - 1, LANE)  # core samples/segment
+    if seg <= 0:
+        raise ValueError(
+            f"num_taps={num_taps} too large for max_row_lanes="
+            f"{max_row_lanes} segmentation windows."
+        )
+    n_seg = -(-n // seg)
+    # Pad so every window slice is in-bounds: left margin up front, then
+    # right margin + core rounding at the back.
+    total = left + n_seg * seg + (window - seg - left)
+    xp = jnp.pad(x_u8, ((0, 0), (left, total - left - n)))
+    windows = jnp.concatenate(
+        [xp[:, i * seg : i * seg + window] for i in range(n_seg)], axis=0
+    )
+    out = fir1d_fixed_rows_mxu_window(
+        windows, h, qformat, block_rows=block_rows,
+        max_row_lanes=max_row_lanes, interpret=interpret,
+    )
+    core = out[:, left : left + seg]
+    stitched = jnp.concatenate(
+        [core[i * batch : (i + 1) * batch] for i in range(n_seg)], axis=1
+    )
+    return stitched[:, :n]

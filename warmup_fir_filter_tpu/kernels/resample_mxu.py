@@ -1,0 +1,233 @@
+"""MXU Pallas kernel: polyphase rational resampling as banded matmuls.
+
+The polyphase resampler (``ops/resample.py``) in its slice-based form
+pays ~P·J elementwise slice-multiply-add passes (64 for the 2/3·63-tap
+chain stage) — measured 1.3 Gsps on v5e, 37× off the memory roofline,
+and the bottleneck stage of the BASELINE config-5 chain.  This kernel
+reformulates the whole rate change as ONE banded matmul per 128-output
+tile, the rate-changing generalization of the windowed FIR band kernel
+(``fir_mxu.build_window_band_planes``):
+
+    y[m0 + i] = Σ_j x[s_p + j] · A[j, i],       i ∈ [0, 128)
+    A[j, i]   = taps[r_i, db_i + (J-1) - j]     (0 ≤ index < J else 0)
+
+with ``r_i = (i·Q + c) mod P``, ``β_i = (i·Q + c − r_i)/P``,
+``db_i = β_i − β_0`` and window width ``K = db_127 + J``.  Because the
+output tile size 128 is a multiple of P (requires ``P | 128``; P and Q
+are coprime so this covers every power-of-two upsample), the band
+matrix is tile-independent and the input window advances by the fixed
+stride ``ds = 128·Q/P`` per output tile — a contiguous, gather-free
+access pattern.
+
+Precision follows the float model kernel (``fir_float_mxu.py``):
+``bf16x3`` (default, ~2⁻²¹ relative — far below every acceptance bound)
+or ``highest`` (strict f32 dots).  MACs/output = 3·K ≈ 670 for the
+chain's 2/3·63-tap stage — memory-bound, not compute-bound.
+
+Replaces the hot loop the reference never had (the resample stage is a
+north-star addition; closest reference analogue is the scalar MAC loop
+``fir_1d_fixed_ref.py:95-107`` applied per polyphase branch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from warmup_fir_filter_tpu.kernels.fir_float_mxu import _split_bf16
+from warmup_fir_filter_tpu.kernels.fir_mxu import (
+    FULLROW_BLOCK_BYTES,
+    LANE,
+)
+from warmup_fir_filter_tpu.ops.resample import _plan, _polyphase_taps
+
+#: Output tiles per segmentation window (128 tiles = 16384 outputs):
+#: bounds both the kernel's unrolled tile loop and the VMEM block size.
+MAX_OUT_TILES = 128
+
+
+def build_resample_band(
+    h: np.ndarray, up: int, down: int
+) -> tuple[np.ndarray, int, int, int, int]:
+    """Tile-independent resampling band matrix.
+
+    Returns ``(A, K, ds, beta0, J)``: the (K, 128) float32 band, its row
+    count, the per-tile input stride ``ds = 128·Q/P``, ``β_0`` (the
+    input anchor of output 0, used by callers to position the first
+    window), and the branch length J.  Requires ``P | 128``.
+    """
+    if 128 % up:
+        raise ValueError(
+            f"MXU resample band needs up | 128 (tile-periodic), got up={up}."
+        )
+    h64 = np.asarray(h, np.float64)
+    num_taps = int(h64.size)
+    center = num_taps // 2
+    taps = _polyphase_taps(h64, up)  # (P, J)
+    j_count = taps.shape[1]
+    i = np.arange(LANE)
+    u = i * down + center
+    r_i = u % up
+    beta = (u - r_i) // up
+    db = beta - beta[0]
+    k_rows = int(db[-1]) + j_count
+    a = np.zeros((k_rows, LANE), np.float32)
+    for col in range(LANE):
+        rows = db[col] + (j_count - 1) - np.arange(j_count)
+        a[rows, col] = taps[r_i[col]]
+    ds = 128 * down // up
+    return a, k_rows, ds, int(beta[0]), j_count
+
+
+def _resample_f32_kernel(
+    a_hi_ref,   # (K, 128) band (bf16 hi or f32)
+    a_lo_ref,   # (K, 128) bf16 lo residual (bf16x3 only; dummy otherwise)
+    body_ref,   # (BR, W) f32 input windows
+    o_ref,      # (BR, M) f32 outputs
+    *,
+    ds: int,
+    k_rows: int,
+    s_base: int,
+    bf16x3: bool,
+):
+    x = body_ref[:]
+    m = o_ref.shape[1]
+    out_tiles = m // LANE
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if bf16x3:
+        xh, xl = _split_bf16(x)
+        for p in range(out_tiles):
+            s = s_base + p * ds
+            hs, ls = xh[:, s : s + k_rows], xl[:, s : s + k_rows]
+            # bf16x3: hi·hi + lo·hi + hi·lo (lo·lo ≈ 2^-32 relative).
+            acc = (dot(hs, a_hi_ref[:]) + dot(ls, a_hi_ref[:])
+                   + dot(hs, a_lo_ref[:]))
+            o_ref[:, p * LANE : (p + 1) * LANE] = acc
+    else:
+        dot = functools.partial(dot, precision=jax.lax.Precision.HIGHEST)
+        for p in range(out_tiles):
+            s = s_base + p * ds
+            o_ref[:, p * LANE : (p + 1) * LANE] = dot(
+                x[:, s : s + k_rows], a_hi_ref[:]
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ds", "k_rows", "s_base", "m", "block_rows", "bf16x3",
+                     "interpret"),
+)
+def _resample_f32(
+    windows,  # (B', W) f32
+    a_hi,
+    a_lo,
+    ds: int,
+    k_rows: int,
+    s_base: int,
+    m: int,
+    block_rows: int,
+    bf16x3: bool,
+    interpret: bool,
+):
+    batch, w = windows.shape
+    in_spec = pl.BlockSpec((block_rows, w), lambda r: (r, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((block_rows, m), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    band_spec = lambda a: pl.BlockSpec(  # noqa: E731
+        a.shape, lambda r: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _resample_f32_kernel, ds=ds, k_rows=k_rows, s_base=s_base,
+            bf16x3=bf16x3,
+        ),
+        grid=(-(-batch // block_rows),),
+        in_specs=[band_spec(a_hi), band_spec(a_lo), in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, m), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(a_hi, a_lo, windows)
+
+
+def resample_poly_mxu(
+    x,
+    h,
+    up: int,
+    down: int,
+    *,
+    precision: str = "bf16x3",
+    block_rows: int | None = None,
+    interpret: bool | None = None,
+    max_out_tiles: int = MAX_OUT_TILES,
+) -> jax.Array:
+    """Float32 polyphase resampler on the MXU over (C, T) rows.
+
+    Same rate-change contract as ``ops.resample.resample_poly`` (the
+    same-mode polyphase derivation, module docstring there); numerics
+    are bf16x3 (~114 dB vs float64) or strict-f32 ``highest`` instead of
+    the slice path's exact f32 accumulation order.  Long streams are
+    windowed into ≤``MAX_OUT_TILES``-tile segments whose margins carry
+    the true neighboring samples (zeros at stream edges — the contract's
+    zero-pad), stacked batch-major so the kernel sees row-rich blocks.
+    """
+    if precision not in ("bf16x3", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
+    h64 = np.asarray(h, np.float64)
+    x_f32 = jnp.asarray(x, jnp.float32)
+    batch, n = x_f32.shape
+    out_len, _, _, _ = _plan(n, up, down, h64.size)
+    a, k_rows, ds, beta0, j_count = build_resample_band(h64, up, down)
+
+    out_tiles_total = -(-out_len // LANE)
+    tiles_per_seg = min(out_tiles_total, max_out_tiles)
+    seg_out = tiles_per_seg * LANE
+    seg_in = seg_out * down // up
+    n_seg = -(-out_tiles_total // tiles_per_seg)
+
+    # Left pad so the first window's earliest read (β_0 − (J−1), i.e.
+    # row 0 of the band at tile 0) is in bounds; zeros realize the
+    # same-mode zero-pad exactly (float path: pad value 0 contributes 0).
+    first_read = beta0 - (j_count - 1)
+    pad_l = max(0, -first_read)
+    s_base = first_read + pad_l
+    win_w = s_base + (tiles_per_seg - 1) * ds + k_rows
+    total_needed = (n_seg - 1) * seg_in + win_w
+    xp_width = max(pad_l + n, total_needed)
+    xp = jnp.pad(x_f32, ((0, 0), (pad_l, xp_width - pad_l - n)))
+
+    if n_seg == 1:
+        windows = xp[:, :win_w]
+    else:
+        windows = jnp.concatenate(
+            [xp[:, w * seg_in : w * seg_in + win_w] for w in range(n_seg)],
+            axis=0,
+        )
+    if block_rows is None:
+        by_vmem = max(1, FULLROW_BLOCK_BYTES // (4 * win_w))
+        block_rows = int(min(-(-max(batch, 1) // 8) * 8,
+                             -(-by_vmem // 8) * 8))
+    bf16x3 = precision == "bf16x3"
+    if bf16x3:
+        a_hi, a_lo = _split_bf16(jnp.asarray(a))
+    else:
+        a_hi = jnp.asarray(a)
+        a_lo = jnp.zeros_like(a_hi)
+    out = _resample_f32(
+        windows, a_hi, a_lo, ds, k_rows, s_base, seg_out, block_rows,
+        bf16x3,
+        (jax.default_backend() != "tpu") if interpret is None else interpret,
+    )
+    if n_seg > 1:
+        out = jnp.concatenate(
+            [out[w * batch : (w + 1) * batch] for w in range(n_seg)],
+            axis=1,
+        )
+    return out[:, :out_len]

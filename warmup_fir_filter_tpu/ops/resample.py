@@ -202,8 +202,35 @@ def _poly_float_core(x_f32, plan, up, down, num_branches, out_len, taps_key):
     return out[:, :out_len]
 
 
-def resample_poly(x, h, up: int, down: int) -> jax.Array:
-    """Float32 polyphase resampler on device over (C, T) rows."""
+def resample_poly(
+    x, h, up: int, down: int, *, precision: str = "auto"
+) -> jax.Array:
+    """Float32 polyphase resampler on device over (C, T) rows.
+
+    ``precision`` selects the backend:
+
+    - ``"auto"`` (default): the MXU banded-matmul kernel
+      (``kernels/resample_mxu.py``, bf16x3 ≈114 dB vs f64) on TPU when
+      P | 128; the exact slice path elsewhere.  The slice path pays
+      ~P·J elementwise passes — measured 37× off the roofline on the
+      chain's 2/3·63-tap stage — so "auto" is the production default.
+    - ``"exact"``: the slice path (bit-stable f32 accumulation order).
+    - ``"bf16x3"`` / ``"highest"``: force the MXU kernel's mode.
+    """
+    if precision not in ("auto", "exact", "bf16x3", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
+    if precision == "auto":
+        precision = (
+            "bf16x3"
+            if jax.default_backend() == "tpu" and 128 % up == 0
+            else "exact"
+        )
+    if precision != "exact":
+        from warmup_fir_filter_tpu.kernels.resample_mxu import (
+            resample_poly_mxu,
+        )
+
+        return resample_poly_mxu(x, h, up, down, precision=precision)
     h64 = np.asarray(h, np.float64)
     x_f32 = jnp.asarray(x, jnp.float32)
     n = int(x_f32.shape[1])

@@ -24,8 +24,7 @@ from warmup_fir_filter_tpu.ops.fftfilt import frame_overlap, pick_nfft
 from warmup_fir_filter_tpu.parallel.halo import exchange_halo_1d
 
 
-def fir_overlap_save_sharded(
-    x,
+def make_overlap_save_step(
     h,
     *,
     mesh: Mesh,
@@ -33,12 +32,21 @@ def fir_overlap_save_sharded(
     channel_axis: str = "data",
     nfft: int | None = None,
     backend: str = "jnp",
-) -> jax.Array:
-    """Float32 same-mode FIR via FFT overlap-save, (C, T) sharded C×T.
+    steps: int = 1,
+):
+    """Build a reusable jitted sharded overlap-save step.
 
-    ``backend="pallas"`` runs each shard's local overlap-save through the
-    fused matmul-FFT kernel (``kernels/fft_pallas.py``) instead of
-    ``jnp.fft`` — same sharding, same halo exchange, same result.
+    Returns ``run(x_sharded, seed=0.0) -> (C, T) float32`` — a callable
+    holding ONE ``jax.jit`` object, so repeated invocations hit the
+    compile cache (a fresh closure per call would re-trace every time,
+    paying the 20-90 s tunnel compile per benchmark repetition).
+
+    ``steps > 1`` chains the filter that many times inside the jit
+    (shape-preserving (C, T) → (C, T), halo exchange per application) —
+    the slope between two chain lengths is the honest per-apply time
+    through the async tunnel (``utils/benchmarking.py`` methodology).
+    ``seed`` is added to the input in-graph to defeat value-level result
+    caching between repetitions.
     """
     if backend not in ("jnp", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
@@ -49,27 +57,12 @@ def fir_overlap_save_sharded(
         raise ValueError(f"nfft={nfft} must be >= num_taps={num_taps}")
     center = num_taps // 2
     left_w, right_w = num_taps - 1 - center, center
-
-    x_f32 = jnp.asarray(x, jnp.float32)
-    channels, time = x_f32.shape
-    for size, axis in ((channels, channel_axis), (time, time_axis)):
-        if size % mesh.shape[axis]:
-            raise ValueError(
-                f"Dimension {size} not divisible by mesh axis "
-                f"{axis!r}={mesh.shape[axis]}."
-            )
-
-    local_time = time // mesh.shape[time_axis]
     step = nfft - (num_taps - 1)
-    num_blocks = -(-local_time // step)
 
     if backend == "pallas":
         from warmup_fir_filter_tpu.kernels.fft_pallas import (
-            _auto_block_rows,
             _dft_tables,
-            _osfilt_natural,
             _osfilt_spectrum,
-            _round_up,
             _use_interpret,
         )
 
@@ -88,6 +81,12 @@ def fir_overlap_save_sharded(
             spec = jnp.fft.rfft(segments, axis=-1)
             y = jnp.fft.irfft(spec * h_freq, n=nfft, axis=-1)
             return y[:, :, num_taps - 1 :]
+        from warmup_fir_filter_tpu.kernels.fft_pallas import (
+            _auto_block_rows,
+            _osfilt_natural,
+            _round_up,
+        )
+
         c_loc, blocks = segments.shape[0], segments.shape[1]
         flat = segments.reshape(c_loc * blocks, nfft)
         rows = _auto_block_rows(nfft, flat.shape[0])
@@ -100,33 +99,82 @@ def fir_overlap_save_sharded(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(channel_axis, time_axis), P()),
+        in_specs=(P(channel_axis, time_axis), P(), P()),
         out_specs=P(channel_axis, time_axis),
         # pallas_call emits ShapeDtypeStructs without varying-mesh-axes
         # metadata; vma checking would reject the kernel-backed body.
         check_vma=False,
     )
-    def _step(x_loc, h_f32):
-        # Halo exchange gives each shard the same neighborhood it would
-        # see inside the global zero-padded stream.
-        x_ext = exchange_halo_1d(
-            x_loc, axis_name=time_axis, left_width=left_w,
-            right_width=right_w,
-        )
-        # Local overlap-save over the extended block: segment b covers
-        # ext indices [b·step, b·step + nfft); local output t lives at
-        # ext index t + left_w, and y[t] needs ext[t ... t + L - 1],
-        # i.e. the standard discard-first-(L-1) alignment.
-        # Last segment ends at (num_blocks-1)·step + nfft
-        # = num_blocks·step + (L-1) in extended coordinates.
-        pad_right = num_blocks * step + (num_taps - 1) - x_ext.shape[1]
-        xp = jnp.pad(x_ext, ((0, 0), (0, max(0, pad_right))))
-        segments = frame_overlap(xp, nfft, step, num_blocks)
-        valid = _local_filter(segments, h_f32)
-        out = valid.reshape(x_loc.shape[0], num_blocks * step)
-        return out[:, :local_time]
+    def _sharded(x_loc, h_f32, seed):
+        local_time = x_loc.shape[1]
+        num_blocks = -(-local_time // step)
 
+        def apply(y_loc):
+            # Halo exchange gives each shard the same neighborhood it
+            # would see inside the global zero-padded stream.
+            x_ext = exchange_halo_1d(
+                y_loc, axis_name=time_axis, left_width=left_w,
+                right_width=right_w,
+            )
+            # Local overlap-save over the extended block: segment b
+            # covers ext indices [b·step, b·step + nfft); local output t
+            # lives at ext index t + left_w, and y[t] needs
+            # ext[t ... t + L - 1], i.e. the standard
+            # discard-first-(L-1) alignment.  Last segment ends at
+            # (num_blocks-1)·step + nfft = num_blocks·step + (L-1) in
+            # extended coordinates.
+            pad_right = num_blocks * step + (num_taps - 1) - x_ext.shape[1]
+            xp = jnp.pad(x_ext, ((0, 0), (0, max(0, pad_right))))
+            segments = frame_overlap(xp, nfft, step, num_blocks)
+            valid = _local_filter(segments, h_f32)
+            out = valid.reshape(y_loc.shape[0], num_blocks * step)
+            return out[:, :local_time]
+
+        y0 = x_loc + seed
+        if steps == 1:
+            return apply(y0)
+        from jax import lax
+
+        return lax.fori_loop(0, steps, lambda i, y: apply(y), y0)
+
+    jitted = jax.jit(_sharded)
+    h_f32 = jnp.asarray(h64, jnp.float32)
+
+    def run(x_sharded, seed: float = 0.0):
+        return jitted(x_sharded, h_f32, jnp.float32(seed))
+
+    return run
+
+
+def fir_overlap_save_sharded(
+    x,
+    h,
+    *,
+    mesh: Mesh,
+    time_axis: str = "time",
+    channel_axis: str = "data",
+    nfft: int | None = None,
+    backend: str = "jnp",
+) -> jax.Array:
+    """Float32 same-mode FIR via FFT overlap-save, (C, T) sharded C×T.
+
+    ``backend="pallas"`` runs each shard's local overlap-save through the
+    fused matmul-FFT kernel (``kernels/fft_pallas.py``) instead of
+    ``jnp.fft`` — same sharding, same halo exchange, same result.
+    """
+    run = make_overlap_save_step(
+        h, mesh=mesh, time_axis=time_axis, channel_axis=channel_axis,
+        nfft=nfft, backend=backend,
+    )
+    x_f32 = jnp.asarray(x, jnp.float32)
+    channels, time = x_f32.shape
+    for size, axis in ((channels, channel_axis), (time, time_axis)):
+        if size % mesh.shape[axis]:
+            raise ValueError(
+                f"Dimension {size} not divisible by mesh axis "
+                f"{axis!r}={mesh.shape[axis]}."
+            )
     x_sharded = jax.device_put(
         x_f32, NamedSharding(mesh, P(channel_axis, time_axis))
     )
-    return jax.jit(_step)(x_sharded, jnp.asarray(h64, jnp.float32))
+    return run(x_sharded)

@@ -38,34 +38,25 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def spmd_pipeline(
+def make_spmd_pipeline(
     stage_fn: Callable,
-    microbatches: jax.Array,
     *,
     mesh: Mesh,
     axis: str = "stage",
-) -> jax.Array:
-    """Run ``microbatches`` through a device-pipelined stage chain.
+) -> Callable:
+    """Build the jitted pipelined runner (reusable across calls).
 
-    Args:
-        stage_fn: ``(stage_index, x) -> y`` with ``y.shape == x.shape``;
-            ``stage_index`` is a traced int32 scalar in ``[0, S)``.
-        microbatches: ``(T, *item_shape)`` array; microbatch ``t`` enters
-            stage 0 at tick ``t``.
-        mesh: mesh whose ``axis`` dimension (size S) hosts the stages.
-        axis: mesh axis name holding the pipeline stages.
-
-    Returns:
-        ``(T, *item_shape)`` outputs (replicated), bit-identical to
-        applying stages ``0..S-1`` sequentially to each microbatch.
+    Returns ``run(microbatches) -> outputs`` holding ONE ``jax.jit``
+    object: repeated same-shape invocations hit the compile cache
+    (constructing the closure per call — what :func:`spmd_pipeline`
+    does for convenience — re-traces every time, which distorts
+    benchmarks).
     """
     num_stages = int(mesh.shape[axis])
-    num_batches = int(microbatches.shape[0])
-    if num_batches == 0:
-        return microbatches
 
     @partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P())
     def run(mb):
+        num_batches = mb.shape[0]
         s = jax.lax.axis_index(axis)
         is_first = s == 0
         is_last = s == num_stages - 1
@@ -110,4 +101,31 @@ def spmd_pipeline(
                          jnp.zeros((), outs.dtype))
         return jax.lax.psum(outs * keep, axis)
 
-    return jax.jit(run)(jnp.asarray(microbatches))
+    return jax.jit(run)
+
+
+def spmd_pipeline(
+    stage_fn: Callable,
+    microbatches: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "stage",
+) -> jax.Array:
+    """Run ``microbatches`` through a device-pipelined stage chain.
+
+    Args:
+        stage_fn: ``(stage_index, x) -> y`` with ``y.shape == x.shape``;
+            ``stage_index`` is a traced int32 scalar in ``[0, S)``.
+        microbatches: ``(T, *item_shape)`` array; microbatch ``t`` enters
+            stage 0 at tick ``t``.
+        mesh: mesh whose ``axis`` dimension (size S) hosts the stages.
+        axis: mesh axis name holding the pipeline stages.
+
+    Returns:
+        ``(T, *item_shape)`` outputs (replicated), bit-identical to
+        applying stages ``0..S-1`` sequentially to each microbatch.
+    """
+    microbatches = jnp.asarray(microbatches)
+    if int(microbatches.shape[0]) == 0:
+        return microbatches
+    return make_spmd_pipeline(stage_fn, mesh=mesh, axis=axis)(microbatches)
