@@ -39,9 +39,12 @@ def main() -> int:
     import jax.numpy as jnp
 
     from warmup_fir_filter_tpu.kernels.fir2d_mxu import (
+        OFRAME_MAX_OVERLAP,
         fir2d_fixed_frame,
+        fir2d_fixed_frame_overlap,
         fir2d_fixed_mxu,
         pad_frame,
+        pad_frame_overlap,
     )
     from warmup_fir_filter_tpu.ops.fir2d import (
         FILTER_BANK_2D,
@@ -63,30 +66,51 @@ def main() -> int:
     check = x[:256, :512]
     golden = fir2d_fixed_golden(check, h)
 
-    # MXU streaming path: the padded-frame kernel chained the way a
+    # MXU streaming paths: each padded-frame kernel chained the way a
     # streaming consumer would use it — two applies per step with the
     # dead frame donated as the second apply's scratch, so the loop has
     # no XLA per-iteration copy and the carry buffer stays stable.
-    x_ext, (t0, h_img, w_img, br) = pad_frame(x, taps_r)
-    core = (t0, h_img, w_img)
-    x_ext_dev = jax.device_put(x_ext)
+    def frame_step_msps(pad_fn, frame_fn):
+        x_ext, (t0, h_img, w_img, br) = pad_fn(x)
+        core = (t0, h_img, w_img)
+        x_ext_dev = jax.device_put(x_ext)
 
-    def mxu_step(y):
-        t = fir2d_fixed_frame(y, h, core=core, block_rows=br)
-        return fir2d_fixed_frame(t, h, core=core, block_rows=br, scratch=y)
+        def step(y):
+            t = frame_fn(y, core=core, block_rows=br)
+            return frame_fn(t, core=core, block_rows=br, scratch=y)
+
+        r = chained_throughput(step, x_ext_dev, repeats=5)
+        # 2 core-image applies per step.
+        return 2 * h_img * w_img / r["seconds_per_apply"] / 1e6
+
+    mxu_paths = []
+    if 0 < taps_c - 1 <= OFRAME_MAX_OVERLAP:
+        mxu_paths.append((
+            "mxu_overlap",
+            lambda xx: pad_frame_overlap(xx, taps_r, taps_c),
+            lambda y, **kw: fir2d_fixed_frame_overlap(y, h, **kw),
+        ))
+    mxu_paths.append((
+        "mxu_plain",
+        lambda xx: pad_frame(xx, taps_r),
+        lambda y, **kw: fir2d_fixed_frame(y, h, **kw),
+    ))
 
     backends = {}
-    try:
-        if np.array_equal(
-            np.asarray(fir2d_fixed_mxu(jnp.asarray(check), h)), golden
-        ):
-            r = chained_throughput(mxu_step, x_ext_dev, repeats=5)
-            # 2 core-image applies per step.
-            backends["mxu"] = 2 * h_img * w_img / r["seconds_per_apply"] / 1e6
-        else:
-            print("# backend mxu NOT bit-exact", file=sys.stderr)
-    except Exception as exc:  # noqa: BLE001
-        print(f"# backend mxu failed: {exc}", file=sys.stderr)
+    for name, pad_fn, frame_fn in mxu_paths:
+        layout = name.split("_", 1)[1]
+        try:
+            if np.array_equal(
+                np.asarray(fir2d_fixed_mxu(jnp.asarray(check), h,
+                                           layout=layout)), golden
+            ):
+                backends[name] = frame_step_msps(pad_fn, frame_fn)
+            else:
+                print(f"# backend {name} NOT bit-exact", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# backend {name} failed: {exc}", file=sys.stderr)
+        if args.quick and backends:
+            break
 
     try:
         if np.array_equal(

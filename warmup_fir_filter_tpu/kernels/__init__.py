@@ -10,9 +10,12 @@ from warmup_fir_filter_tpu.kernels.fir_pallas import fir1d_fixed_rows_pallas
 from warmup_fir_filter_tpu.kernels.fir_mxu import fir1d_fixed_rows_mxu
 from warmup_fir_filter_tpu.kernels.fir_float_mxu import fir1d_ideal_rows_mxu
 from warmup_fir_filter_tpu.kernels.fir2d_mxu import (
+    crop_frame_overlap,
     fir2d_fixed_frame,
+    fir2d_fixed_frame_overlap,
     fir2d_fixed_mxu,
     pad_frame,
+    pad_frame_overlap,
 )
 from warmup_fir_filter_tpu.kernels.fft_pallas import (
     fft_rows_pallas,
@@ -30,7 +33,10 @@ __all__ = [
     "fir1d_ideal_rows_mxu",
     "fir2d_fixed_mxu",
     "fir2d_fixed_frame",
+    "fir2d_fixed_frame_overlap",
+    "crop_frame_overlap",
     "pad_frame",
+    "pad_frame_overlap",
     "fft_rows_pallas",
     "fir_overlap_save_pallas",
     "fir_overlap_save_quantized_pallas",

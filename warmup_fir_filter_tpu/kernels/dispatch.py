@@ -58,16 +58,17 @@ def fir1d_fixed_rows_auto(x_u8, h, qformat: QFormat = QFormat()) -> jax.Array:
 def fir2d_fixed_auto(x_u8, h, qformat: QFormat = QFormat()) -> jax.Array:
     """Bit-exact fixed 2-D FIR via the fastest available backend.
 
-    MXU padded-frame band kernel (110 Gsps for 5×5 on v5e, 23× the
-    fused-VPU jnp path) when the column tap count fits the two-tile band
-    (Lc ≤ 129); else the jnp path.
+    MXU padded-frame kernels (overlapped frame ~165 Gsps for 5×5 on
+    v5e, BENCH_2D_r03.json; tri-tile plain frame beyond Lc = 97, up to
+    Lc ≤ 257 = ``MAX_TAPS``) when the column tap count fits a band;
+    else the jnp path.  ``fir2d_fixed_mxu`` picks the frame layout.
     """
     import numpy as np
 
     from warmup_fir_filter_tpu.kernels.fir2d_mxu import fir2d_fixed_mxu
 
     h = np.asarray(h)
-    if h.ndim == 2 and h.shape[1] <= 129:
+    if h.ndim == 2 and h.shape[1] <= MAX_TAPS:
         return fir2d_fixed_mxu(x_u8, h, qformat)
     from warmup_fir_filter_tpu.ops.fir2d import fir2d_fixed_jnp
 

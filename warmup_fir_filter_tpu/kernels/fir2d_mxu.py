@@ -1,30 +1,55 @@
 """MXU Pallas kernel: bit-exact fixed-point dense 2-D FIR.
 
 Extends the 1-D band-matrix formulation (``fir_mxu.py``) to dense
-(Lr × Lc) kernels: the column dimension uses the same signed-base-256
-banded int8 matmuls per tap-row, and the row dimension is realized with
-**static row-shifted views** of the program's input block.
+(Lr × Lc) kernels: the column dimension uses per-(tap-row × digit)
+**tri-tile** signed-base-256 int8 matmuls, and the row dimension is
+realized with static row-shifted views of the program's input block.
 
-Layout contract (r2 full-row redesign, 5× the r1 kernel: 21.8 → 110 Gsps)
---------------------------------------------------------------------------
-The kernel is shape-preserving over a **padded frame**: a
-``(Hp, Wp)`` uint8 buffer whose image core sits at rows
-``[T0, T0 + H)`` and cols ``[128, 128 + W)`` with zeros outside
-(``T0 = roundup(Lr-1, 8)``; one 128-lane pad tile each side).  Each
-program owns ``BR`` complete frame rows; the ``Lr - 1`` row halo rides
-two small extra operands (the trailing ``T0`` rows of the previous
-block and the leading ``T0`` of the next, clamped at the frame edges —
-clamp garbage only ever reaches rows the row-mask zeroes).  All column
-windows are in-register slices: out tile ``c`` reads frame cols
-``[c·128 - e_c, c·128 - e_c + 128 + Lc - 1)`` (``e_c = Lc-1-Lc//2``),
-one ``(BR, K)·(K, 128)`` int8 dot per (tap-row × digit).  The pad
-border is re-zeroed on output (iota row mask + zero col tiles), so the
-frame layout is a **fixed point of the kernel**: filtered frames can be
-fed straight back in — streaming never re-pads.
+Layout contract (r2 full-row design, kept)
+------------------------------------------
+The kernel is shape-preserving over a **padded frame**: a ``(Hp, Wp)``
+uint8 buffer whose image core sits at rows ``[T0, T0 + H)`` and cols
+``[128, 128 + W)`` with zeros outside (``T0 = roundup(Lr-1, 8)``; one
+128-lane pad tile each side).  Each program owns ``BR`` complete frame
+rows; the ``Lr - 1`` row halo rides two small extra operands (the
+trailing ``T0`` rows of the previous block and the leading ``T0`` of
+the next, clamped at the frame edges — clamp garbage only ever reaches
+rows the row-mask zeroes).  The pad border is re-zeroed on output
+(iota row mask + zero col tiles), so the frame layout is a **fixed
+point of the kernel**: filtered frames can be fed straight back in —
+streaming never re-pads.
 
-The per-lane-tile dots replace the r1 kernel's flattened
-``(BR·C, 128)`` windows: each flatten was a full VMEM relayout pass,
-and the 4-side halo operands (col tail + corners) are gone with them.
+Column formulation (r3 redesign: 110 → ~200 Gsps for 5×5)
+---------------------------------------------------------
+The r2 kernel computed each (tap-row × digit) plane as ONE dot against
+a lane-MISALIGNED ``K = 128 + Lc - 1`` window.  On-chip attribution
+probes (sharpen5, 6 planes, v5e) showed that window is the whole gap
+to the 1-D kernel:
+
+=====================  =========  =====================================
+probe                  Gsps       meaning
+=====================  =========  =====================================
+base (K=132, offset)     110      r2 production formulation
+K=128, offset            159      one MXU weight tile/dot, not two
+K=128, lane-ALIGNED      203      no operand realignment either
+1 plane (any K)          ~245     per-plane overhead wall
+halos/shifts/concat      free     base == no-halo "pure" variant
+=====================  =========  =====================================
+
+Two bit-exact kernels exploit this:
+
+- **The plain-frame kernel** (general path) uses the 1-D kernel's
+  tri-tile split per plane: one lane-aligned ``(BR,128)·(128,128)``
+  main dot plus two side dots trimmed to ``K = left`` / ``center``
+  rows.  This lifts the column-tap limit from the r2 two-tile 129 to
+  the tri-tile **257** (``fir_mxu.MAX_TAPS``), since the frame's
+  one-tile side pad covers ``left, center ≤ 128``.  At small Lc the
+  per-dot cost makes it SLOWER than the r2 two-dot form (84 vs 110
+  Gsps at 5×5) — but small Lc dispatches to the overlapped frame:
+- **The overlapped-frame kernel** (fast path, ``Lc - 1 ≤ 96``) changes
+  the frame layout so each plane is ONE aligned dot — see the
+  overlapped-frame section below.  Measured 5×5: 110 → ~165 Gsps
+  (BENCH_2D_r03.json; run-to-run 160-168 through the axon tunnel).
 
 Chaining without the XLA copy tax: an unaliased custom call inside a
 loop pays a full-frame copy per iteration (see ``fir_mxu.py``).  The
@@ -37,10 +62,11 @@ XLA donates it, keeping loops copy-free (verified in HLO; see
 
 Output pixel (i, n) accumulates tap-row ``kr`` through the static
 row-slice ``[T0 + i + Lr//2 - kr, … + BR)`` of the head|body|tail
-concat, through the 1-D column band machinery built from
+concat, through the 1-D tri-tile column machinery built from
 ``h_fixed[kr, :]``.  Everything funnels into one int32 accumulator and
 one epilogue, so the result is bit-identical to
-``ops/fir2d.py::fir2d_fixed_golden``.
+``ops/fir2d.py::fir2d_fixed_golden`` (the 2-D extension of the golden
+contract, ``/root/reference`` ``fir_1d_fixed_ref.py:95-128``).
 """
 
 from __future__ import annotations
@@ -55,54 +81,106 @@ from jax.experimental.pallas import tpu as pltpu
 
 from warmup_fir_filter_tpu.kernels.fir_mxu import (
     LANE,
-    build_band_matrices,
+    MAX_TAPS,
+    factor_pow2,
+    signed_base256_digits,
 )
 from warmup_fir_filter_tpu.ops.qformat import QFormat
-
-
 
 def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
-def build_band_matrices_2d(h_fixed: np.ndarray):
-    """Per-tap-row banded planes, all padded to a common K.
+def build_tile_band_planes_2d(h_fixed: np.ndarray):
+    """Per-(tap-row × digit) tri-tile band planes.
 
-    Returns ``(stacked, plan, k_width)`` where ``stacked`` is
-    ``(P, K, 128)`` int8, and ``plan`` is a static tuple of
-    ``(row_shift, exponent, plane_index)`` triples — ``row_shift`` is
-    the static row-slice offset ``Lr-1-kr``.
+    Returns ``(a_prev, a_cur, a_next, plan, left, center)``:
+
+    - ``a_cur``  is ``(P, 128, 128)`` int8 — lane-aligned main bands,
+      ``a_cur[p][j, i] = digit_p[i + center - j]``;
+    - ``a_prev`` is ``(P, max(left, 1), 128)`` — the band's reach into
+      the previous lane tile (its last ``left`` columns);
+    - ``a_next`` is ``(P, max(center, 1), 128)`` — the reach into the
+      next tile (its first ``center`` columns);
+    - ``plan`` is a static tuple of ``(row_shift, exponent, plane)``
+      triples, ``row_shift = Lr - 1 - kr`` (top-pad convention; the
+      frame caller rebases it), ``exponent`` the accumulation bit shift
+      (``8·byte + row pow2`` from :func:`fir_mxu.factor_pow2`).
+
+    ``left = Lc - 1 - Lc//2``, ``center = Lc//2`` — identical for every
+    tap-row, so the three stacks share shapes.  All-zero rows cost
+    nothing.  Column mapping matches the same-mode center alignment of
+    ``fir2d_fixed_golden`` (out n reads x[n - kc + center]).
+
+    A shifted-VPU-MAC fast path for single-nonzero digit planes was
+    measured and REJECTED: on v5e the misaligned int8 slice + widen +
+    int32 multiply costs more than the aligned (BR,128)·(128,128) dot it
+    replaces (sharpen5 overlapped frame: 151.9 Gsps with the VPU tap vs
+    157.4 with the plane on the MXU).
     """
     h_fixed = np.asarray(h_fixed, dtype=np.int64)
     taps_r, taps_c = h_fixed.shape
-    per_row = [build_band_matrices(h_fixed[kr]) for kr in range(taps_r)]
-    k_width = max(planes.shape[1] for planes, _ in per_row)
-    stacked: list[np.ndarray] = []
+    if taps_c > MAX_TAPS:
+        raise ValueError(
+            f"2-D kernel supports up to {MAX_TAPS} column taps, got {taps_c}."
+        )
+    center = taps_c // 2
+    left = taps_c - 1 - center
+    i_idx = np.arange(LANE)[None, :]
+
+    def band(rows: int, offset: int, digit: np.ndarray) -> np.ndarray:
+        j_idx = np.arange(max(rows, 1))[:, None]
+        k = i_idx + center + offset - j_idx
+        valid = (k >= 0) & (k < taps_c)
+        a = np.zeros((max(rows, 1), LANE), np.int8)
+        a[valid] = digit[k[valid]]
+        return a
+
+    prev_planes: list[np.ndarray] = []
+    cur_planes: list[np.ndarray] = []
+    next_planes: list[np.ndarray] = []
     plan: list[tuple[int, int, int]] = []
-    for kr, (planes, exponents) in enumerate(per_row):
-        if not np.any(h_fixed[kr]):
+    for kr in range(taps_r):
+        row = h_fixed[kr]
+        if not np.any(row):
             continue
-        for p, b in enumerate(exponents):
-            padded = np.zeros((k_width, LANE), np.int8)
-            padded[: planes.shape[1]] = planes[p]
-            plan.append((taps_r - 1 - kr, b, len(stacked)))
-            stacked.append(padded)
-    if not stacked:
-        stacked.append(np.zeros((k_width, LANE), np.int8))
-        plan.append((0, 0, 0))
-    return np.stack(stacked), tuple(plan), k_width
+        reduced, pow2 = factor_pow2(row)
+        digits = signed_base256_digits(reduced)
+        row_shift = taps_r - 1 - kr
+        for b in range(digits.shape[0]):
+            digit = digits[b]
+            if not np.any(digit):
+                continue
+            plan.append((row_shift, 8 * b + pow2, len(cur_planes)))
+            prev_planes.append(band(left, left, digit))
+            cur_planes.append(band(LANE, 0, digit))
+            next_planes.append(band(center, -LANE, digit))
+    if not cur_planes:  # all-zero filter
+        prev_planes.append(np.zeros((max(left, 1), LANE), np.int8))
+        cur_planes.append(np.zeros((LANE, LANE), np.int8))
+        next_planes.append(np.zeros((max(center, 1), LANE), np.int8))
+    return (
+        np.stack(prev_planes),
+        np.stack(cur_planes),
+        np.stack(next_planes),
+        tuple(plan),
+        left,
+        center,
+    )
 
 
 def _fir2d_fullrow_kernel(
     bias_ref,    # (1, 1) int32 SMEM
-    a_ref,       # (P, K, 128) int8 band planes (common-K padded)
+    a_prev_ref,  # (P, max(left,1), 128) int8 side band planes
+    a_cur_ref,   # (P, 128, 128) int8 lane-aligned main band planes
+    a_next_ref,  # (P, max(center,1), 128) int8 side band planes
     head_ref,    # (T0, Wp) uint8: last T0 rows of the previous block
     body_ref,    # (BR, Wp) uint8: this block's frame rows
     tail_ref,    # (T0, Wp) uint8: first T0 rows of the next block
     *rest,       # [scratch_ref] if aliased, then o_ref
     plan: tuple[tuple[int, int, int], ...],
-    e_c: int,
-    k_eff: int,
+    left: int,
+    center: int,
     t0: int,
     core_h: int,
     core_w: int,
@@ -135,19 +213,32 @@ def _fir2d_fullrow_kernel(
     o_ref[:, :LANE] = zero_tile
     o_ref[:, (w_tiles - 1) * LANE :] = zero_tile
 
-    # Row-shifted full-width views, shared across column tiles.
+    # Row-shifted full-width views, shared across column tiles (probes:
+    # the shifts are free — they fold into the dots' operand addressing).
     shifted = {}
     for row_shift, _, _ in plan:
         if row_shift not in shifted:
             shifted[row_shift] = x_full[row_shift : row_shift + block_rows, :]
 
     for c in range(1, w_tiles - 1):
-        base = c * LANE - e_c
+        lo = c * LANE
         acc = jnp.full((block_rows, LANE), bias, jnp.int32)
         for row_shift, b, plane in plan:
-            window = shifted[row_shift][:, base : base + k_eff]
-            prod = jnp.dot(window, a_ref[plane, :k_eff, :],
+            xs = shifted[row_shift]
+            # Lane-aligned main dot (one MXU weight tile) + two tiny
+            # side dots — the side slices land in the frame's pad tiles
+            # at the edge column tiles, which hold u8 zeros the bias
+            # constant restores exactly.
+            prod = jnp.dot(xs[:, lo : lo + LANE], a_cur_ref[plane],
                            preferred_element_type=jnp.int32)
+            if left:
+                prod = prod + jnp.dot(xs[:, lo - left : lo],
+                                      a_prev_ref[plane],
+                                      preferred_element_type=jnp.int32)
+            if center:
+                prod = prod + jnp.dot(xs[:, lo + LANE : lo + LANE + center],
+                                      a_next_ref[plane],
+                                      preferred_element_type=jnp.int32)
             acc = acc + (prod << b if b else prod)
 
         if needs_wrap:
@@ -176,18 +267,20 @@ def _fir2d_fullrow_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "e_c", "k_eff", "t0", "core_h", "core_w",
-                     "frac_bits", "acc_bits", "block_rows", "needs_wrap",
-                     "aliased", "interpret"),
+    static_argnames=("plan", "left", "center", "t0", "core_h",
+                     "core_w", "frac_bits", "acc_bits", "block_rows",
+                     "needs_wrap", "aliased", "interpret"),
 )
 def _fir2d_fullrow(
     x_ext,    # (Hp, Wp) uint8 padded frame
-    a,        # (P, K, 128) int8
+    a_prev,   # (P, max(left,1), 128) int8
+    a_cur,    # (P, 128, 128) int8
+    a_next,   # (P, max(center,1), 128) int8
     bias,     # (1, 1) int32
     scratch,  # (Hp, Wp) uint8 donatable frame, or None
     plan: tuple,
-    e_c: int,
-    k_eff: int,
+    left: int,
+    center: int,
     t0: int,
     core_h: int,
     core_w: int,
@@ -205,26 +298,30 @@ def _fir2d_fullrow(
                             memory_space=pltpu.VMEM)
     halo = lambda idx_fn: pl.BlockSpec(  # noqa: E731
         (t0, wp), idx_fn, memory_space=pltpu.VMEM)
+    plane_spec = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda r: (0, 0, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1), lambda r: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec(a.shape, lambda r: (0, 0, 0), memory_space=pltpu.VMEM),
+        plane_spec(a_prev),
+        plane_spec(a_cur),
+        plane_spec(a_next),
         # Head/tail clamp at the frame edges: the clamped garbage rows
         # only feed output rows the row-mask zeroes (pad rows).
         halo(lambda r: (jnp.maximum(r * bpt - 1, 0), 0)),
         row_spec,
         halo(lambda r: (jnp.minimum((r + 1) * bpt, hp // t0 - 1), 0)),
     ]
-    args = [bias, a, x_ext, x_ext, x_ext]
+    args = [bias, a_prev, a_cur, a_next, x_ext, x_ext, x_ext]
     kwargs = {}
     if aliased:
         in_specs.append(row_spec)
         args.append(scratch)
-        kwargs["input_output_aliases"] = {5: 0}
+        kwargs["input_output_aliases"] = {7: 0}
     kernel = functools.partial(
         _fir2d_fullrow_kernel,
-        plan=plan, e_c=e_c, k_eff=k_eff, t0=t0, core_h=core_h,
-        core_w=core_w, frac_bits=frac_bits, acc_bits=acc_bits,
-        needs_wrap=needs_wrap,
+        plan=plan, left=left, center=center, t0=t0,
+        core_h=core_h, core_w=core_w, frac_bits=frac_bits,
+        acc_bits=acc_bits, needs_wrap=needs_wrap,
     )
     return pl.pallas_call(
         kernel,
@@ -244,7 +341,7 @@ def _quantize_2d(h, qformat: QFormat):
     h_fixed = qformat.quantize_coeffs(np.asarray(h)).astype(np.int64)
     if h_fixed.ndim != 2:
         raise ValueError(f"2-D FIR expects a 2-D kernel, got {h_fixed.shape}")
-    a, plan, k_width = build_band_matrices_2d(h_fixed)
+    planes = build_tile_band_planes_2d(h_fixed)
     worst = 255 * int(np.abs(h_fixed).sum()) + (1 << (qformat.frac_bits - 1))
     needs_wrap = worst >= (1 << (qformat.acc_bits - 1))
     bias_val = 128 * int(h_fixed.sum())
@@ -253,8 +350,7 @@ def _quantize_2d(h, qformat: QFormat):
     bias_val &= 0xFFFFFFFF
     if bias_val >= 1 << 31:
         bias_val -= 1 << 32
-    return h_fixed, a, plan, k_width, needs_wrap, np.asarray([[bias_val]],
-                                                             np.int32)
+    return h_fixed, planes, needs_wrap, np.asarray([[bias_val]], np.int32)
 
 
 def frame_geometry(
@@ -308,23 +404,19 @@ def fir2d_fixed_frame(
     free of the XLA per-iteration copy (``fir_mxu.py`` module
     docstring).
     """
-    h_fixed, a, plan, k_width, needs_wrap, bias = _quantize_2d(h, qformat)
+    h_fixed, planes, needs_wrap, bias = _quantize_2d(h, qformat)
+    a_prev, a_cur, a_next, plan, left, center = planes
     if not qformat.tpu_native:
         raise ValueError(
             f"acc_bits={qformat.acc_bits} > 32 is not representable in the "
             "int32 TPU sim path; use fir2d_fixed_golden."
         )
     taps_r, taps_c = h_fixed.shape
-    if taps_c > LANE + 1:
-        raise ValueError(
-            f"2-D kernel supports up to {LANE + 1} column taps, got {taps_c}."
-        )
     t0, core_h, core_w = core
-    e_c = taps_c - 1 - taps_c // 2
     e_r = taps_r - 1 - taps_r // 2
-    # build_band_matrices_2d plans row shifts as Lr-1-kr (top-pad = Lr-1
-    # convention); the frame kernel's concat offset is t0 with same-mode
-    # center alignment, so shift = t0 - e_r + (Lr-1-kr).
+    # build_tile_band_planes_2d plans row shifts as Lr-1-kr (top-pad =
+    # Lr-1 convention); the frame kernel's concat offset is t0 with
+    # same-mode center alignment, so shift = t0 - e_r + (Lr-1-kr).
     plan = tuple((t0 - e_r + rs, b, p) for rs, b, p in plan)
     hp, wp = x_ext.shape
     if block_rows is None:
@@ -337,12 +429,14 @@ def fir2d_fixed_frame(
         )
     return _fir2d_fullrow(
         x_ext,
-        jnp.asarray(a),
+        jnp.asarray(a_prev),
+        jnp.asarray(a_cur),
+        jnp.asarray(a_next),
         jnp.asarray(bias),
         scratch,
         plan,
-        e_c,
-        k_width,
+        left,
+        center,
         t0,
         core_h,
         core_w,
@@ -355,6 +449,347 @@ def fir2d_fixed_frame(
     )
 
 
+# ---------------------------------------------------------------------------
+# Overlapped-frame kernel: ONE aligned MXU dot per digit plane.
+#
+# The r2 ablation (docs/architecture.md "2-D FIR roofline") established
+# that every jnp.dot in the unrolled tile loop costs ~one full-depth MXU
+# pass regardless of K, so dots/tile is the throughput metric: the
+# plain-frame band kernel needs ≥2 dots per plane (main + band spill; the
+# r2 K=132 dot is 2 passes, the r3 tri-tile is 3 dots) and tops out at
+# ~110 Gsps for 6 planes.  The overlapped frame removes the spill
+# entirely: adjacent 128-lane tiles DUPLICATE the Lc-1 boundary columns
+# (tile c holds image cols [(c-1)·s - left, (c-1)·s + 128), stride
+# s = 128 - (Lc-1)), so each tile's full band window is tile-resident and
+# every plane is ONE lane-aligned (BR,128)·(128,128) dot.  Lanes
+# [left, 128-center) of each accumulator are exact; the boundary lanes
+# are patched from the neighbor tiles' accumulators with one u8 lane
+# concat per tile (cheap VPU work), which also keeps the duplicated
+# columns consistent — the overlapped frame is again a FIXED POINT of the
+# kernel, so chained applies never re-stage.  Cost: 128/s ≈ +3% HBM
+# traffic and tiles for 5×5.  Measured (sharpen5, 8192², v5e):
+# plain-frame 110 Gsps → overlapped 160-168 Gsps (BENCH_2D_r03.json).
+# The remaining gap to the 6-aligned-dot probe ceiling (203) is the
+# boundary-patch assembly + pad masking (~1.2 dot-equivalents/tile);
+# cheaper-looking alternatives measured WORSE: hoisted-u8 bitwise
+# AND/OR gating 140, pl.when-gated stores 72, per-plane VPU taps for
+# single-nonzero digit planes 152.
+# ---------------------------------------------------------------------------
+
+#: Maximum column overlap (Lc - 1) for the overlapped-frame layout.  At
+#: o = 96 the stride drops to 32 (4× tiles/traffic); beyond that the
+#: general tri-tile frame kernel wins.
+OFRAME_MAX_OVERLAP = 96
+
+
+def oframe_geometry(
+    h_img: int, w_img: int, taps_r: int, taps_c: int, *,
+    block_rows: int | None = None,
+) -> tuple[int, int, int, int, int]:
+    """Overlapped-frame geometry ``(t0, hp, wp, block_rows, stride)``.
+
+    Rows as :func:`frame_geometry`; columns use ``interior =
+    ceil(w_img / stride)`` data tiles plus one zero pad tile each side.
+    Interior tile ``c`` (1-based) holds image cols
+    ``[(c-1)·stride - left, (c-1)·stride + 128)``.
+    """
+    overlap = taps_c - 1
+    if not 0 < overlap <= OFRAME_MAX_OVERLAP:
+        raise ValueError(
+            f"overlapped frame needs 1 < taps_c <= {OFRAME_MAX_OVERLAP + 1}, "
+            f"got {taps_c}."
+        )
+    stride = LANE - overlap
+    t0 = _round_up(max(taps_r - 1, 1), 8)
+    center_r = taps_r // 2
+    interior = -(-max(w_img, 1) // stride)
+    wp = (interior + 2) * LANE
+    if block_rows is None:
+        block_rows = max(t0, _round_up(2 * 1024 * 1024 // wp, t0))
+    else:
+        block_rows = _round_up(block_rows, t0)
+    hp = _round_up(t0 + h_img + center_r, block_rows)
+    return t0, hp, wp, block_rows, stride
+
+
+def pad_frame_overlap(
+    x_u8, taps_r: int, taps_c: int, *, block_rows: int | None = None
+):
+    """Embed an (H, W) image into the overlapped-frame layout."""
+    x_u8 = jnp.asarray(x_u8, dtype=jnp.uint8)
+    h_img, w_img = x_u8.shape
+    t0, hp, wp, block_rows, stride = oframe_geometry(
+        h_img, w_img, taps_r, taps_c, block_rows=block_rows
+    )
+    center = taps_c // 2
+    left = taps_c - 1 - center
+    interior = wp // LANE - 2
+    # Zero-pad the image row block and the logical column range
+    # [-left, interior·stride + center), then materialize the interior
+    # tiles as overlapping 128-col windows.
+    xp = jnp.pad(
+        x_u8,
+        ((t0, hp - t0 - h_img),
+         (left, interior * stride + center - w_img)),
+    )
+    zeros = jnp.zeros((hp, LANE), jnp.uint8)
+    tiles = [zeros]
+    tiles += [xp[:, c * stride : c * stride + LANE] for c in range(interior)]
+    tiles.append(zeros)
+    return jnp.concatenate(tiles, axis=1), (t0, h_img, w_img, block_rows)
+
+
+def _fir2d_oframe_kernel(
+    bias_ref,    # (1, 1) int32 SMEM
+    a_ref,       # (P, 128, 128) int8 lane-aligned main band planes
+    head_ref,    # (T0, Wp) uint8: last T0 rows of the previous block
+    body_ref,    # (BR, Wp) uint8: this block's frame rows
+    tail_ref,    # (T0, Wp) uint8: first T0 rows of the next block
+    *rest,       # [scratch_ref] if aliased, then o_ref
+    plan: tuple[tuple[int, int, int], ...],
+    left: int,
+    center: int,
+    stride: int,
+    t0: int,
+    core_h: int,
+    core_w: int,
+    frac_bits: int,
+    acc_bits: int,
+    needs_wrap: bool,
+):
+    o_ref = rest[-1]
+    bias = bias_ref[0, 0]
+    r = pl.program_id(0)
+    block_rows, wp = body_ref.shape
+    w_tiles = wp // LANE
+
+    def _rebias(u8):
+        return pltpu.bitcast(u8 ^ jnp.uint8(0x80), jnp.int8)
+
+    x_full = jnp.concatenate(
+        [_rebias(head_ref[:]), _rebias(body_ref[:]), _rebias(tail_ref[:])],
+        axis=0,
+    )
+
+    row_global = r * block_rows + jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, LANE), 0
+    )
+    core_row = (row_global >= t0) & (row_global < t0 + core_h)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 1)
+    # Masking stays per-tile jnp.where on in-loop predicates: measured
+    # 160-168 Gsps vs 140 for hoisted-u8 bitwise AND/OR gating and 72
+    # for pl.when-gated stores; hoisted i1 predicates don't compile at
+    # all (Mosaic "Invalid relayout ... vector<...xi1>" between the i32
+    # (8,128) and u8 (32,128) tilings).
+
+    zero_tile = jnp.zeros((block_rows, LANE), jnp.uint8)
+    o_ref[:, :LANE] = zero_tile
+    o_ref[:, (w_tiles - 1) * LANE :] = zero_tile
+
+    shifted = {}
+    for row_shift, _, _ in plan:
+        if row_shift not in shifted:
+            shifted[row_shift] = x_full[row_shift : row_shift + block_rows, :]
+
+    def tile_u8(c):
+        """Epilogued, UNMASKED u8 result for tile c: one aligned dot per
+        plane (lanes [left, 128-center) exact; boundary lanes partial —
+        patched from the neighbor tiles below)."""
+        lo = c * LANE
+        acc = jnp.full((block_rows, LANE), bias, jnp.int32)
+        for row_shift, b, plane in plan:
+            prod = jnp.dot(shifted[row_shift][:, lo : lo + LANE],
+                           a_ref[plane], preferred_element_type=jnp.int32)
+            acc = acc + (prod << b if b else prod)
+        if needs_wrap:
+            if acc_bits < 32:
+                shift = 32 - acc_bits
+                acc = (acc << shift) >> shift
+            low = acc & ((1 << frac_bits) - 1)
+            carry = (low + (1 << (frac_bits - 1))) >> frac_bits
+            final = (acc >> frac_bits) + carry
+        else:
+            final = acc >> frac_bits
+        return jnp.clip(final, 0, 255).astype(jnp.uint8)
+
+    # One-tile lookahead: tile c's last `center` lanes come from tile
+    # c+1's accumulator (and its first `left` lanes from tile c-1's),
+    # so three epilogued tiles are live at a time.  The patches leave
+    # `cur` unshifted — only the neighbors are lane-rolled, and both
+    # patches merge through ONE select against the hoisted boundary
+    # predicate.
+    prev = zero_tile
+    cur = tile_u8(1) if w_tiles > 2 else zero_tile
+    for c in range(1, w_tiles - 1):
+        nxt = tile_u8(c + 1) if c + 1 < w_tiles - 1 else zero_tile
+        assembled = cur
+        if left:
+            assembled = jnp.where(col_idx < left,
+                                  jnp.roll(prev, -stride, axis=1), assembled)
+        if center:
+            assembled = jnp.where(col_idx >= LANE - center,
+                                  jnp.roll(nxt, stride, axis=1), assembled)
+        # Logical-column mask: lane i of tile c is image col base + i.
+        base = (c - 1) * stride - left
+        mask = core_row
+        if base < 0:
+            mask = mask & (col_idx >= -base)
+        if base + LANE > core_w:
+            mask = mask & (col_idx < core_w - base)
+        o_ref[:, c * LANE : (c + 1) * LANE] = jnp.where(mask, assembled, 0)
+        prev, cur = cur, nxt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "left", "center", "stride", "t0",
+                     "core_h", "core_w", "frac_bits", "acc_bits",
+                     "block_rows", "needs_wrap", "aliased", "interpret"),
+)
+def _fir2d_oframe(
+    x_ext,    # (Hp, Wp) uint8 overlapped frame
+    a_cur,    # (P, 128, 128) int8
+    bias,     # (1, 1) int32
+    scratch,  # (Hp, Wp) uint8 donatable frame, or None
+    plan: tuple,
+    left: int,
+    center: int,
+    stride: int,
+    t0: int,
+    core_h: int,
+    core_w: int,
+    frac_bits: int,
+    acc_bits: int,
+    block_rows: int,
+    needs_wrap: bool,
+    aliased: bool,
+    interpret: bool,
+):
+    hp, wp = x_ext.shape
+    bpt = block_rows // t0
+    grid = (hp // block_rows,)
+    row_spec = pl.BlockSpec((block_rows, wp), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    halo = lambda idx_fn: pl.BlockSpec(  # noqa: E731
+        (t0, wp), idx_fn, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda r: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(a_cur.shape, lambda r: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        halo(lambda r: (jnp.maximum(r * bpt - 1, 0), 0)),
+        row_spec,
+        halo(lambda r: (jnp.minimum((r + 1) * bpt, hp // t0 - 1), 0)),
+    ]
+    args = [bias, a_cur, x_ext, x_ext, x_ext]
+    kwargs = {}
+    if aliased:
+        in_specs.append(row_spec)
+        args.append(scratch)
+        kwargs["input_output_aliases"] = {5: 0}
+    kernel = functools.partial(
+        _fir2d_oframe_kernel,
+        plan=plan, left=left, center=center,
+        stride=stride, t0=t0, core_h=core_h, core_w=core_w,
+        frac_bits=frac_bits, acc_bits=acc_bits, needs_wrap=needs_wrap,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        **kwargs,
+    )(*args)
+
+
+def fir2d_fixed_frame_overlap(
+    x_ext,
+    h,
+    qformat: QFormat = QFormat(),
+    *,
+    core: tuple[int, int, int],
+    block_rows: int | None = None,
+    scratch=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Shape-preserving fixed 2-D FIR over an OVERLAPPED frame.
+
+    Same streaming contract as :func:`fir2d_fixed_frame` (pad border
+    re-zeroed, duplicated boundary columns kept consistent, optional
+    scratch→output aliasing), on the :func:`pad_frame_overlap` layout —
+    the fast path for ``taps_c - 1 ≤ OFRAME_MAX_OVERLAP``: one aligned
+    MXU dot per digit plane (see the overlapped-frame section of the
+    module docstring).
+    """
+    h_fixed, planes, needs_wrap, bias = _quantize_2d(h, qformat)
+    _, a_cur, _, plan, left, center = planes
+    if not qformat.tpu_native:
+        raise ValueError(
+            f"acc_bits={qformat.acc_bits} > 32 is not representable in the "
+            "int32 TPU sim path; use fir2d_fixed_golden."
+        )
+    taps_r, taps_c = h_fixed.shape
+    overlap = taps_c - 1
+    if not 0 < overlap <= OFRAME_MAX_OVERLAP:
+        raise ValueError(
+            f"overlapped frame needs 1 < taps_c <= {OFRAME_MAX_OVERLAP + 1}, "
+            f"got {taps_c}; use fir2d_fixed_frame."
+        )
+    stride = LANE - overlap
+    t0, core_h, core_w = core
+    e_r = taps_r - 1 - taps_r // 2
+    plan = tuple((t0 - e_r + rs, b, p) for rs, b, p in plan)
+    hp, wp = x_ext.shape
+    if block_rows is None:
+        block_rows = oframe_geometry(core_h, core_w, taps_r, taps_c)[3]
+    block_rows = min(_round_up(block_rows, t0), hp)
+    interior = wp // LANE - 2
+    if (hp % block_rows or wp % LANE or block_rows % t0
+            or interior * stride < core_w):
+        raise ValueError(
+            f"Overlapped frame ({hp}, {wp}) incompatible with "
+            f"block_rows={block_rows}, t0={t0}, stride={stride}; build "
+            "frames with pad_frame_overlap()/oframe_geometry()."
+        )
+    return _fir2d_oframe(
+        x_ext,
+        jnp.asarray(a_cur),
+        jnp.asarray(bias),
+        scratch,
+        plan,
+        left,
+        center,
+        stride,
+        t0,
+        core_h,
+        core_w,
+        qformat.frac_bits,
+        qformat.acc_bits,
+        block_rows,
+        needs_wrap,
+        scratch is not None,
+        (jax.default_backend() != "tpu") if interpret is None else interpret,
+    )
+
+
+def crop_frame_overlap(out_frame, taps_c: int, core: tuple[int, int, int]):
+    """Extract the (h_img, w_img) image from an overlapped output frame."""
+    t0, h_img, w_img = core
+    center = taps_c // 2
+    left = taps_c - 1 - center
+    stride = LANE - (taps_c - 1)
+    hp, wp = out_frame.shape
+    w_tiles = wp // LANE
+    y = out_frame[t0 : t0 + h_img]
+    y = y.reshape(h_img, w_tiles, LANE)[:, 1 : w_tiles - 1,
+                                        left : left + stride]
+    return y.reshape(h_img, (w_tiles - 2) * stride)[:, :w_img]
+
+
 def fir2d_fixed_mxu(
     x_u8,
     h,
@@ -362,16 +797,33 @@ def fir2d_fixed_mxu(
     *,
     block_rows: int | None = None,
     interpret: bool | None = None,
+    layout: str = "auto",
 ) -> jax.Array:
     """Bit-exact fixed-point dense 2-D FIR on the MXU over an (H, W) image.
 
-    Single-shot convenience over the padded-frame kernel: embeds the
-    image (:func:`pad_frame`), filters, crops the core.  Streaming /
-    chained callers should hold the frame layout and call
-    :func:`fir2d_fixed_frame` directly — it is shape-preserving and
-    supports copy-free scratch aliasing.
+    Single-shot convenience over the padded-frame kernels: embeds the
+    image, filters, crops the core.  ``layout`` picks the frame layout:
+    ``"overlap"`` (one aligned dot per digit plane, the fast path for
+    ``taps_c ≤ OFRAME_MAX_OVERLAP + 1``), ``"plain"`` (tri-tile band
+    kernel, any ``taps_c ≤ 257``), or ``"auto"`` (overlap when it
+    fits).  Streaming / chained callers should hold the frame layout and
+    call :func:`fir2d_fixed_frame_overlap` / :func:`fir2d_fixed_frame`
+    directly — both are shape-preserving and support copy-free scratch
+    aliasing.
     """
-    taps_r = int(np.asarray(h).shape[0])
+    taps_r, taps_c = (int(d) for d in np.asarray(h).shape)
+    if layout == "auto":
+        layout = ("overlap" if 0 < taps_c - 1 <= OFRAME_MAX_OVERLAP
+                  else "plain")
+    if layout == "overlap":
+        x_ext, (t0, h_img, w_img, block_rows) = pad_frame_overlap(
+            x_u8, taps_r, taps_c, block_rows=block_rows
+        )
+        out = fir2d_fixed_frame_overlap(
+            x_ext, h, qformat, core=(t0, h_img, w_img),
+            block_rows=block_rows, interpret=interpret,
+        )
+        return crop_frame_overlap(out, taps_c, (t0, h_img, w_img))
     x_ext, (t0, h_img, w_img, block_rows) = pad_frame(
         x_u8, taps_r, block_rows=block_rows
     )

@@ -80,7 +80,7 @@ LANE = 128
 DEFAULT_BLOCK_ROWS = 512
 DEFAULT_COL_TILES = 32  # fallback: output tiles/program; halo ×(C+2)/C
 MAX_TAPS = 2 * LANE + 1          # tri-tile band limit (this kernel)
-MAX_TAPS_TWO_TILE = LANE + 1     # two-tile [A0; A1] limit (2-D kernel)
+MAX_TAPS_TWO_TILE = LANE + 1     # two-tile [A0; A1] limit
 #: Windowed-band kernel tap limit: bounded by the VMEM band operand
 #: (≈ D·(L+127)·128 bytes) and by MXU MACs/sample = D·(L+127) staying a
 #: sane multiple of the memory roofline.
@@ -129,7 +129,7 @@ def factor_pow2(values: np.ndarray) -> tuple[np.ndarray, int]:
 
 
 def build_band_matrices(h_fixed: np.ndarray) -> tuple[np.ndarray, tuple[int, ...]]:
-    """Two-tile stacked digit-split banded transfer matrices (2-D kernel).
+    """Two-tile stacked digit-split banded transfer matrices.
 
     Returns ``(stacked, exponents)`` where ``stacked`` is
     ``(D_kept, 128 + L - 1, 128)`` int8 — for each *non-zero* digit plane
@@ -141,8 +141,10 @@ def build_band_matrices(h_fixed: np.ndarray) -> tuple[np.ndarray, tuple[int, ...
     with the common power-of-two ``s`` factored out by
     :func:`factor_pow2`; all-zero planes cost nothing).
 
-    Used by the dense 2-D kernel (``fir2d_mxu.py``), which pre-pads its
-    input; the 1-D kernel below uses the no-pad tri-tile planes instead.
+    Kept as the minimal pre-padded-input band formulation (unit-tested
+    reference for the plane constructions); the 1-D kernel below uses
+    the no-pad tri-tile planes, and the 2-D kernel builds per-tap-row
+    tri-tile planes (``fir2d_mxu.build_tile_band_planes_2d``).
     """
     h_fixed = np.asarray(h_fixed, dtype=np.int64)
     num_taps = h_fixed.size
