@@ -81,3 +81,58 @@ def test_halo_wider_than_shard_rejected_or_exact(rng, devices):
     x = _random(rng, 2, 8 * 8)
     out = np.asarray(fir1d_fixed_sharded(x, h, mesh=mesh))
     np.testing.assert_array_equal(out, fir1d_fixed_golden_rows(x, h))
+
+
+class Test2DSharded:
+    """2-D image sharded rows x cols: corner halos are the hard part."""
+
+    def test_2d_mesh_bit_exact_gauss5(self, rng, devices):
+        from warmup_fir_filter_tpu.ops.fir2d import (
+            FILTER_BANK_2D,
+            fir2d_fixed_golden,
+        )
+        from warmup_fir_filter_tpu.parallel import fir2d_fixed_sharded
+
+        mesh = make_mesh({"data": 2, "time": 4}, devices=devices[:8])
+        h = FILTER_BANK_2D["gauss5"]
+        x = rng.integers(0, 256, size=(2 * 24, 4 * 32), dtype=np.uint8)
+        out = np.asarray(fir2d_fixed_sharded(x, h, mesh=mesh))
+        np.testing.assert_array_equal(out, fir2d_fixed_golden(x, h))
+
+    def test_2d_even_taps_asymmetric_corners(self, rng, devices):
+        # (2, 4) kernel: top halo 1 / bottom 0? no — Lr=2, center_r=1:
+        # top 0, bottom 1; Lc=4, center_c=2: left 1, right 2. The
+        # corners carried by the two-phase exchange are asymmetric in
+        # every direction.
+        from warmup_fir_filter_tpu.ops.fir2d import fir2d_fixed_golden
+        from warmup_fir_filter_tpu.parallel import fir2d_fixed_sharded
+
+        mesh = make_mesh({"data": 4, "time": 2}, devices=devices[:8])
+        h = rng.uniform(-0.5, 0.5, (2, 4))
+        x = rng.integers(0, 256, size=(4 * 16, 2 * 40), dtype=np.uint8)
+        out = np.asarray(fir2d_fixed_sharded(x, h, mesh=mesh))
+        np.testing.assert_array_equal(out, fir2d_fixed_golden(x, h))
+
+    def test_2d_shard_smaller_than_halo_rejected_or_exact(self, rng,
+                                                          devices):
+        # Tall 9-row kernel across 4 row shards of 8 rows each: the halo
+        # (8 rows total) spans a full neighbor shard. ppermute only
+        # reaches nearest neighbors, so this must either stay bit-exact
+        # or be out of contract; it is exact because 8 <= shard rows.
+        from warmup_fir_filter_tpu.ops.fir2d import fir2d_fixed_golden
+        from warmup_fir_filter_tpu.parallel import fir2d_fixed_sharded
+
+        mesh = make_mesh({"data": 4, "time": 1}, devices=devices[:4])
+        h = rng.uniform(-0.5, 0.5, (9, 3))
+        x = rng.integers(0, 256, size=(4 * 8, 32), dtype=np.uint8)
+        out = np.asarray(fir2d_fixed_sharded(x, h, mesh=mesh))
+        np.testing.assert_array_equal(out, fir2d_fixed_golden(x, h))
+
+    def test_2d_not_divisible_raises(self, rng, devices):
+        from warmup_fir_filter_tpu.ops.fir2d import FILTER_BANK_2D
+        from warmup_fir_filter_tpu.parallel import fir2d_fixed_sharded
+
+        mesh = make_mesh({"data": 2, "time": 4}, devices=devices[:8])
+        x = rng.integers(0, 256, size=(31, 4 * 32), dtype=np.uint8)
+        with pytest.raises(ValueError, match="not divisible"):
+            fir2d_fixed_sharded(x, FILTER_BANK_2D["gauss5"], mesh=mesh)

@@ -98,6 +98,35 @@ def _fixed2d_core(x_i32, h_i32, taps_r, taps_c, frac_bits, acc_bits):
     return fixed_epilogue_i32(acc, frac_bits, acc_bits)
 
 
+@partial(jax.jit, static_argnames=("taps_r", "taps_c", "frac_bits",
+                                   "acc_bits"))
+def fixed_fir2d_prehaloed_i32(
+    x_ext, h_i32, taps_r, taps_c, frac_bits, acc_bits
+):
+    """Fixed 2-D FIR core over a PRE-HALOED int32 block.
+
+    ``x_ext`` carries ``taps_r - 1 - taps_r//2`` extra rows on top,
+    ``taps_r//2`` on the bottom, and the analogous ``taps_c`` margins on
+    the columns (the same margins :func:`_pad_2d` zero-fills) — supplied
+    by the caller, e.g. a ``ppermute`` halo exchange
+    (``parallel/halo.py``).  Output shape is the margin-stripped core;
+    identical epilogue to ``_fixed2d_core``, so a shard computing over
+    true neighbor samples is bit-identical to the global computation.
+    """
+    rows = x_ext.shape[0] - (taps_r - 1)
+    cols = x_ext.shape[1] - (taps_c - 1)
+    acc = jnp.zeros((rows, cols), jnp.int32)
+    for kr in range(taps_r):
+        for kc in range(taps_c):
+            window = jax.lax.dynamic_slice(
+                x_ext,
+                (taps_r - 1 - kr, taps_c - 1 - kc),
+                (rows, cols),
+            )
+            acc = acc + h_i32[kr, kc] * window
+    return fixed_epilogue_i32(acc, frac_bits, acc_bits)
+
+
 def fir2d_fixed_jnp(
     x_u8, h, qformat: QFormat = QFormat()
 ) -> jax.Array:

@@ -10,7 +10,9 @@ halo exchange riding ICI (``ppermute``), and channel↔time resharding
 from warmup_fir_filter_tpu.parallel.mesh import make_mesh
 from warmup_fir_filter_tpu.parallel.halo import (
     exchange_halo_1d,
+    exchange_halo_2d,
     fir1d_fixed_sharded,
+    fir2d_fixed_sharded,
 )
 from warmup_fir_filter_tpu.parallel.reshard import (
     channel_to_time,
@@ -27,7 +29,9 @@ from warmup_fir_filter_tpu.parallel.distributed import initialize_multihost
 __all__ = [
     "make_mesh",
     "exchange_halo_1d",
+    "exchange_halo_2d",
     "fir1d_fixed_sharded",
+    "fir2d_fixed_sharded",
     "channel_to_time",
     "time_to_channel",
     "filter_bank_fixed_sharded",

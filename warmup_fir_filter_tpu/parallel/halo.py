@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from warmup_fir_filter_tpu.ops.fir1d import fixed_fir_prehaloed_i32
+from warmup_fir_filter_tpu.ops.fir2d import fixed_fir2d_prehaloed_i32
 from warmup_fir_filter_tpu.ops.qformat import QFormat
 
 
@@ -117,5 +118,110 @@ def fir1d_fixed_sharded(
 
     x_sharded = jax.device_put(
         x, NamedSharding(mesh, P(channel_axis, time_axis))
+    )
+    return jax.jit(_step)(x_sharded, jnp.asarray(h_fixed))
+
+
+def exchange_halo_2d(
+    x_local: jnp.ndarray,
+    *,
+    row_axis: str,
+    col_axis: str,
+    top_width: int,
+    bottom_width: int,
+    left_width: int,
+    right_width: int,
+) -> jnp.ndarray:
+    """Attach neighbor halos on both image axes of a 2-D-sharded block.
+
+    Must be called inside ``shard_map``.  Two sequential 1-D exchanges:
+    rows first, then columns of the row-EXTENDED block — the column
+    phase thereby also carries the four corner halos, so no explicit
+    diagonal ``ppermute`` is needed.  Out-of-mesh halos are zero
+    (global zero-pad semantics).
+    """
+    num_rows = jax.lax.axis_size(row_axis)
+    parts = []
+    if top_width:
+        tail = x_local[-top_width:, :]
+        # Device i sends its bottom rows to device i+1; row-shard 0
+        # receives zeros.
+        parts.append(jax.lax.ppermute(
+            tail, row_axis, [(i, i + 1) for i in range(num_rows - 1)]
+        ))
+    parts.append(x_local)
+    if bottom_width:
+        head = x_local[:bottom_width, :]
+        parts.append(jax.lax.ppermute(
+            head, row_axis, [(i, i - 1) for i in range(1, num_rows)]
+        ))
+    x_rows = jnp.concatenate(parts, axis=0) if len(parts) > 1 else x_local
+    return exchange_halo_1d(
+        x_rows, axis_name=col_axis, left_width=left_width,
+        right_width=right_width,
+    )
+
+
+def fir2d_fixed_sharded(
+    x_u8,
+    h,
+    qformat: QFormat = QFormat(),
+    *,
+    mesh: Mesh,
+    row_axis: str = "data",
+    col_axis: str = "time",
+) -> jax.Array:
+    """Bit-exact fixed 2-D FIR over an (H, W) image, sharded H×W.
+
+    The 2-D extension of :func:`fir1d_fixed_sharded`: image rows shard
+    over ``row_axis`` and columns over ``col_axis``; every shard
+    exchanges its ``(Lr-1, Lc-1)`` same-mode-asymmetric halos (corners
+    included) with its mesh neighbors over ICI and runs the pre-haloed
+    int32 core (``ops/fir2d.py::fixed_fir2d_prehaloed_i32``), so shard
+    boundaries are bit-identical to the global zero-padded golden
+    contract (``fir2d_fixed_golden``).
+
+    Requires H and W divisible by the respective mesh axis sizes (pad
+    at the caller for ragged images).
+    """
+    if not qformat.tpu_native:
+        raise ValueError(
+            f"acc_bits={qformat.acc_bits} > 32 is not representable in the "
+            "int32 TPU sim path."
+        )
+    h_fixed = qformat.quantize_coeffs(np.asarray(h)).astype(np.int32)
+    taps_r, taps_c = h_fixed.shape
+    center_r, center_c = taps_r // 2, taps_c // 2
+    top_w, bottom_w = taps_r - 1 - center_r, center_r
+    left_w, right_w = taps_c - 1 - center_c, center_c
+
+    x = jnp.asarray(x_u8, dtype=jnp.int32)
+    rows, cols = x.shape
+    for size, axis in ((rows, row_axis), (cols, col_axis)):
+        if size % mesh.shape[axis]:
+            raise ValueError(
+                f"Dimension {size} not divisible by mesh axis "
+                f"{axis!r}={mesh.shape[axis]}."
+            )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(row_axis, col_axis), P()),
+        out_specs=P(row_axis, col_axis),
+    )
+    def _step(x_loc, h_i32):
+        x_ext = exchange_halo_2d(
+            x_loc, row_axis=row_axis, col_axis=col_axis,
+            top_width=top_w, bottom_width=bottom_w,
+            left_width=left_w, right_width=right_w,
+        )
+        return fixed_fir2d_prehaloed_i32(
+            x_ext, h_i32, taps_r, taps_c, qformat.frac_bits,
+            qformat.acc_bits,
+        )
+
+    x_sharded = jax.device_put(
+        x, NamedSharding(mesh, P(row_axis, col_axis))
     )
     return jax.jit(_step)(x_sharded, jnp.asarray(h_fixed))
