@@ -103,3 +103,48 @@ def test_randomized_fuzz_sweep(batch_idx):
         # hand-picked SWEEP above covers the column-split fallback.
         mxu_out = np.asarray(fir1d_fixed_rows_mxu(x, h, qf, block_rows=8))
         np.testing.assert_array_equal(mxu_out, golden, err_msg=f"mxu {cell}")
+
+
+class TestQFormat2DSweep:
+    """Randomized 2-D QFormat fuzz: golden vs jnp vs BOTH MXU frame
+    layouts (overlap + tri-tile plain), including wraparound formats.
+
+    The 2-D analogue of the randomized 1-D net above — the overlap
+    kernel's boundary-lane patching and the plain kernel's side dots
+    both have to reproduce the single-accumulator wraparound contract
+    for every format.
+    """
+
+    def test_randomized_2d_cells(self):
+        from warmup_fir_filter_tpu.kernels.fir2d_mxu import fir2d_fixed_mxu
+        from warmup_fir_filter_tpu.ops.fir2d import (
+            fir2d_fixed_golden,
+            fir2d_fixed_jnp,
+        )
+
+        rng = np.random.default_rng(20260820)
+        shapes = [(1, 1), (1, 3), (3, 1), (3, 3), (2, 4), (5, 5), (4, 2)]
+        for _ in range(12):
+            cb = int(rng.choice([8, 16, 32]))
+            fb = int(rng.integers(1, min(cb, 15)))
+            ab = int(rng.integers(max(fb + 2, 8), 33))
+            qf = QFormat(coeff_bits=cb, frac_bits=fb, acc_bits=ab)
+            taps_r, taps_c = shapes[int(rng.integers(len(shapes)))]
+            h = rng.uniform(-2.0, 2.0, (taps_r, taps_c))
+            x = rng.integers(
+                0, 256,
+                size=(int(rng.integers(3, 20)), int(rng.integers(2, 50))),
+                dtype=np.uint8,
+            )
+            golden = fir2d_fixed_golden(x, h, qf)
+            label = f"qf=({cb},{fb},{ab}) h={taps_r}x{taps_c} x={x.shape}"
+            np.testing.assert_array_equal(
+                np.asarray(fir2d_fixed_jnp(x, h, qf)), golden,
+                err_msg=f"jnp {label}")
+            for layout in ("overlap", "plain"):
+                if layout == "overlap" and taps_c == 1:
+                    continue  # overlap layout needs taps_c >= 2
+                np.testing.assert_array_equal(
+                    np.asarray(fir2d_fixed_mxu(x, h, qf, block_rows=8,
+                                               layout=layout)),
+                    golden, err_msg=f"mxu_{layout} {label}")
