@@ -10,14 +10,17 @@ path              5-tap Gsps  63-tap Gsps  257-tap Gsps
 MXU band matmul       316         252          240
 Pallas VPU MAC         68          ~5           —
 jnp/XLA                27          ~3           —
-FFT overlap-save      ~4.2         4.2          4.2  (float, not bit-exact)
+FFT overlap-save      ~2.4         2.4          2.4  (float, not bit-exact)
 ================  ==========  ===========  ============
 
-The int8 MXU eats taps nearly for free (adding taps only adds band
-density and digit planes under a memory-bound op), so the direct MXU
-kernel beats the FFT path even at 63 taps by ~80× *and* stays bit-exact
-— the FFT path is the float *model* path and the only option beyond the
-MXU kernel's 257-tap tri-tile band limit.
+(The FFT figure is the r3 chained-loop harness number; it is bounded by
+its elementwise/relayout passes, not its matmuls — see the FFT section
+of ``docs/roofline.md``.)  The int8 MXU eats taps nearly for free
+(adding taps only adds band density and digit planes under a
+memory-bound op), so the direct MXU kernel beats the FFT path at 63
+taps by ~100× *and* stays bit-exact — the FFT path is the float
+*model* path and the only option beyond the windowed-band kernel's
+4096-tap limit.
 """
 
 from __future__ import annotations

@@ -26,8 +26,15 @@ Design (see /opt/skills/guides/pallas_guide.md):
   batch row's ``N2`` lanes — so the outer DFT is ``F1 @ plane`` and the
   inner DFT is ``plane' @ F2`` after a layout-compatible row-major
   reshape ``(N1, R·N2) → (N1·R, N2)`` (no transpose: flat order is
-  identical).  Twiddles broadcast over the batch with a sublane
-  ``jnp.repeat`` of an ``(N1, N2)`` table.
+  identical).  Twiddle/spectrum tables arrive PRE-REPEATED to
+  ``(N1·R, N2)`` operands (r3: an in-kernel sublane ``jnp.repeat`` was
+  a full-plane relayout per block).
+
+  Measured bound (r3, `docs/roofline.md` FFT section): ~2.4 Gsps fused
+  / 10.2 Gsps forward-only — ~12× below the bf16 matmul bound; the
+  kernel is elementwise/relayout-pass-bound, which is acceptable for
+  the float MODEL path (the production bit-exact path is the direct
+  MXU band kernel at 100×+ this rate).
 
 - **Fused overlap-save filter.**  The forward FFT leaves the spectrum
   in *scrambled* ``[k1, b, k2]`` order.  Rather than paying the
@@ -57,10 +64,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-#: Scoped VMEM budget per program; the fused filter keeps ~14 planes of
-#: (R·nfft) float32 live, plus Mosaic matmul temporaries.
+#: Scoped VMEM budget per program; the fused filter keeps ~18 planes of
+#: (R·nfft) float32 live (incl. the pre-repeated twiddle/spectrum
+#: operands, see ``_repeat_rows``), plus Mosaic matmul temporaries.
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
-_PLANES = 14
+_PLANES = 18
 #: Largest FFT the 4-step N1×N2 split supports (N1, N2 ≤ lane width).
 MAX_NFFT = LANE * LANE
 
@@ -174,34 +182,40 @@ def _cmatmul(ar, ai, br, bi):
     return _dot(ar, br) - _dot(ai, bi), _dot(ar, bi) + _dot(ai, br)
 
 
-def _small_dft_rows(fc_ref, fs_ref, xr, xi, n1: int, real_out: bool = False):
+def _small_dft_slabs(fc_ref, fs_ref, xr, xi, n1: int, rows: int,
+                     real_out: bool = False):
     """(fc + i·fs) @ (xr + i·xi) unrolled on the VPU for tiny N1.
 
-    Operands are (N1, C) planes; the N1×N1 factor matrix is read as
-    scalars and broadcast-multiplied row-wise — N1 full-rate VPU passes
-    instead of a 97%-padded MXU matmul.
+    Operands are (N1·R, N2) planes with rows (n1-major, r-minor); the
+    N1×N1 factor matrix is read as scalars and broadcast-multiplied
+    against full (R, N2) slabs — full-sublane VPU passes instead of a
+    97%-padded MXU matmul (an earlier (1, R·N2) row-slice variant ran
+    the same FMAs at 1/8 sublane utilization).
     """
-    rows_r, rows_i = [], []
+    xr_slab = [xr[j * rows : (j + 1) * rows] for j in range(n1)]
+    xi_slab = (None if xi is None else
+               [xi[j * rows : (j + 1) * rows] for j in range(n1)])
+    out_r, out_i = [], []
     for k in range(n1):
-        acc_r = fc_ref[k, 0] * xr[0:1]
-        acc_i = fs_ref[k, 0] * xr[0:1]
+        acc_r = fc_ref[k, 0] * xr_slab[0]
+        acc_i = fs_ref[k, 0] * xr_slab[0]
         if xi is not None:
-            acc_r = acc_r - fs_ref[k, 0] * xi[0:1]
-            acc_i = acc_i + fc_ref[k, 0] * xi[0:1]
+            acc_r = acc_r - fs_ref[k, 0] * xi_slab[0]
+            acc_i = acc_i + fc_ref[k, 0] * xi_slab[0]
         for j in range(1, n1):
             c, s = fc_ref[k, j], fs_ref[k, j]
-            acc_r = acc_r + c * xr[j : j + 1]
-            acc_i = acc_i + s * xr[j : j + 1]
+            acc_r = acc_r + c * xr_slab[j]
+            acc_i = acc_i + s * xr_slab[j]
             if xi is not None:
-                acc_r = acc_r - s * xi[j : j + 1]
-                acc_i = acc_i + c * xi[j : j + 1]
-        rows_r.append(acc_r)
+                acc_r = acc_r - s * xi_slab[j]
+                acc_i = acc_i + c * xi_slab[j]
+        out_r.append(acc_r)
         if not real_out:
-            rows_i.append(acc_i)
-    out_r = jnp.concatenate(rows_r, axis=0)
+            out_i.append(acc_i)
+    res_r = jnp.concatenate(out_r, axis=0)
     if real_out:
-        return out_r, None
-    return out_r, jnp.concatenate(rows_i, axis=0)
+        return res_r, None
+    return res_r, jnp.concatenate(out_i, axis=0)
 
 
 def _to_m_layout(x, n1: int, n2: int):
@@ -253,18 +267,29 @@ def _fwd_stage(xr, xi, f1c_ref, f1s_ref, tc_ref, ts_ref, f2c_ref, f2s_ref,
     """Forward 4-step DFT from m-layout (re, im) to scrambled spectrum.
 
     xi may be None (real input).  Returns (cr, ci) of shape (N1·R, N2).
+    ``tc_ref``/``ts_ref`` arrive PRE-REPEATED to (N1·R, N2) — an
+    in-kernel ``jnp.repeat`` is a full-plane sublane relayout per block
+    (the host-side repeat is a one-time table build instead).
     """
     if n1 > 1:
         if n1 <= _VPU_DFT_MAX:
-            ar, ai = _small_dft_rows(f1c_ref, f1s_ref, xr, xi, n1)
+            # Slab layout (N1·R, N2): the reshape is free (row-major
+            # identical to the (N1, R·N2) m-layout) and the DFT FMAs
+            # run at full sublane utilization.
+            xr_s = xr.reshape(n1 * block_rows, n2)
+            xi_s = None if xi is None else xi.reshape(n1 * block_rows, n2)
+            ar, ai = _small_dft_slabs(f1c_ref, f1s_ref, xr_s, xi_s, n1,
+                                      block_rows)
         elif xi is None:
             ar, ai = _dot(f1c_ref[:], xr), _dot(f1s_ref[:], xr)
+            ar = ar.reshape(n1 * block_rows, n2)
+            ai = ai.reshape(n1 * block_rows, n2)
         else:
             ar, ai = _cmatmul(f1c_ref[:], f1s_ref[:], xr, xi)
-        ar = ar.reshape(n1 * block_rows, n2)
-        ai = ai.reshape(n1 * block_rows, n2)
-        tc = jnp.repeat(tc_ref[:], block_rows, axis=0)
-        ts = jnp.repeat(ts_ref[:], block_rows, axis=0)
+            ar = ar.reshape(n1 * block_rows, n2)
+            ai = ai.reshape(n1 * block_rows, n2)
+        tc = tc_ref[:]
+        ts = ts_ref[:]
         br = ar * tc - ai * ts
         bi = ar * ts + ai * tc
     else:  # nfft <= 128: single-factor DFT, twiddles are all ones
@@ -283,15 +308,15 @@ def _inv_stage(cr, ci, tc_ref, ts_ref, g1c_ref, g1s_ref, g2c_ref, g2s_ref,
         out_r = er.reshape(1, block_rows * n2)
         out_i = ei.reshape(1, block_rows * n2)
         return (out_r, None) if real_out else (out_r, out_i)
-    tc = jnp.repeat(tc_ref[:], block_rows, axis=0)
-    ts = jnp.repeat(ts_ref[:], block_rows, axis=0)
-    fr = er * tc + ei * ts  # multiply by conj(t)
+    tc = tc_ref[:]  # pre-repeated to (N1·R, N2), see _fwd_stage
+    ts = ts_ref[:]
+    fr = er * tc + ei * ts  # multiply by conj(t); (N1·R, N2) slabs
     fi = ei * tc - er * ts
+    if n1 <= _VPU_DFT_MAX:
+        return _small_dft_slabs(g1c_ref, g1s_ref, fr, fi, n1, block_rows,
+                                real_out=real_out)
     fr = fr.reshape(n1, block_rows * n2)
     fi = fi.reshape(n1, block_rows * n2)
-    if n1 <= _VPU_DFT_MAX:
-        return _small_dft_rows(g1c_ref, g1s_ref, fr, fi, n1,
-                               real_out=real_out)
     if real_out:
         return _dot(g1c_ref[:], fr) - _dot(g1s_ref[:], fi), None
     return _cmatmul(g1c_ref[:], g1s_ref[:], fr, fi)
@@ -343,8 +368,8 @@ def _osfilt_kernel(f1c, f1s, tc, ts, f2c, f2s, hc, hs, g1c, g1s, g2c, g2s,
     seg_m = _nat_to_m(seg, n1, block_rows, n2)
     cr, ci = _fwd_stage(seg_m, None, f1c, f1s, tc, ts, f2c, f2s,
                         n1, block_rows, n2)
-    hcr = jnp.repeat(hc[:], block_rows, axis=0)
-    hsr = jnp.repeat(hs[:], block_rows, axis=0)
+    hcr = hc[:]  # pre-repeated to (N1·R, N2), see _fwd_stage
+    hsr = hs[:]
     dr = cr * hcr - ci * hsr
     di = cr * hsr + ci * hcr
     or_, _ = _inv_stage(dr, di, tc, ts, g1c, g1s, g2c, g2s,
@@ -373,6 +398,16 @@ def _plane_specs(n1: int, shapes: list[tuple[int, int]]):
     ]
 
 
+def _repeat_rows(mat, block_rows: int):
+    """(N1, N2) table → (N1·R, N2) row-repeated operand (XLA-side).
+
+    The twiddle/spectrum multiplies act on (N1·R, N2) planes with rows
+    (k1-major, r-minor); repeating the table on the host turns an
+    in-kernel full-plane sublane relayout per block into a one-time
+    HBM table build."""
+    return jnp.repeat(mat, block_rows, axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nfft", "inverse", "real_input", "block_rows",
@@ -389,16 +424,21 @@ def _fft_m_layout(xr_m, xi_m, tables, nfft, inverse, real_input, block_rows,
         batch_rows = xr_m.shape[0]
     cols = batch_rows * n2
     grid = (batch_rows // block_rows,)
+    tcr = _repeat_rows(tables["tc"], block_rows)
+    tsr = _repeat_rows(tables["ts"], block_rows)
     if inverse:
-        mats = [tables[k] for k in ("g1c", "g1s", "tc", "ts", "g2c", "g2s")]
+        mats = [tables["g1c"], tables["g1s"], tcr, tsr,
+                tables["g2c"], tables["g2s"]]
         kernel = functools.partial(_ifft_kernel, n1=n1, n2=n2,
                                    block_rows=block_rows)
     elif real_input:
-        mats = [tables[k] for k in ("f1c", "f1s", "tc", "ts", "f2c", "f2s")]
+        mats = [tables["f1c"], tables["f1s"], tcr, tsr,
+                tables["f2c"], tables["f2s"]]
         kernel = functools.partial(_fft_kernel_real, n1=n1, n2=n2,
                                    block_rows=block_rows)
     else:
-        mats = [tables[k] for k in ("f1c", "f1s", "tc", "ts", "f2c", "f2s")]
+        mats = [tables["f1c"], tables["f1s"], tcr, tsr,
+                tables["f2c"], tables["f2s"]]
         kernel = functools.partial(_fft_kernel, n1=n1, n2=n2,
                                    block_rows=block_rows)
     m_spec = pl.BlockSpec((n1, block_rows * n2), lambda i: (0, i),
@@ -485,8 +525,11 @@ def _osfilt_natural(segments, hc, hs, tables, nfft, block_rows, interpret,
     n1, n2 = factor_nfft(nfft)
     b_pad = segments.shape[0]
     grid = (b_pad // block_rows,)
-    mats = [tables[k] for k in ("f1c", "f1s", "tc", "ts", "f2c", "f2s")]
-    mats += [hc, hs]
+    tcr = _repeat_rows(tables["tc"], block_rows)
+    tsr = _repeat_rows(tables["ts"], block_rows)
+    mats = [tables["f1c"], tables["f1s"], tcr, tsr,
+            tables["f2c"], tables["f2s"]]
+    mats += [_repeat_rows(hc, block_rows), _repeat_rows(hs, block_rows)]
     mats += [tables[k] for k in ("g1c", "g1s", "g2c", "g2s")]
     kernel = functools.partial(_osfilt_kernel, n1=n1, n2=n2,
                                block_rows=block_rows, out_u8=out_u8)
