@@ -19,7 +19,7 @@ rows the row-mask zeroes).  The pad border is re-zeroed on output
 point of the kernel**: filtered frames can be fed straight back in —
 streaming never re-pads.
 
-Column formulation (r3 redesign: 110 → ~200 Gsps for 5×5)
+Column formulation (r3 redesign: 110 → ~160 Gsps for 5×5)
 ---------------------------------------------------------
 The r2 kernel computed each (tap-row × digit) plane as ONE dot against
 a lane-MISALIGNED ``K = 128 + Lc - 1`` window.  On-chip attribution
@@ -48,8 +48,9 @@ Two bit-exact kernels exploit this:
   Gsps at 5×5) — but small Lc dispatches to the overlapped frame:
 - **The overlapped-frame kernel** (fast path, ``Lc - 1 ≤ 96``) changes
   the frame layout so each plane is ONE aligned dot — see the
-  overlapped-frame section below.  Measured 5×5: 110 → ~165 Gsps
-  (BENCH_2D_r03.json; run-to-run 160-168 through the axon tunnel).
+  overlapped-frame section below.  Measured 5×5: 110 → 156.5 Gsps
+  recorded (BENCH_2D_r03.json; run-to-run 156-168 through the axon
+  tunnel).
 
 Chaining without the XLA copy tax: an unaliased custom call inside a
 loop pays a full-frame copy per iteration (see ``fir_mxu.py``).  The
