@@ -86,12 +86,30 @@ def test_ragged_width_and_batch(rng):
 
 def test_wide_rows_fall_back(rng):
     # > MAX_FULLROW_LANES lanes: must still produce the model contract
-    # (via the jnp fallback).
+    # (via the grid-native wide kernel).
     h = np.asarray(FILTER_BANKS[3]["simple_lp"])
     x = rng.integers(0, 256, size=(1, 257 * 128), dtype=np.uint8)
     got = np.asarray(fir1d_ideal_rows_mxu(x, h))
     expected = fir1d_ideal_golden_rows(x, h)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-2)
+
+
+@pytest.mark.parametrize("precision", ["bf16x3", "highest"])
+def test_wide_rows_ragged_multirow(rng, precision):
+    # Wide grid kernel edge cases: n not a multiple of the lane tile or
+    # the superblock, several rows crossing a row-block boundary, and an
+    # even-tap filter (asymmetric halo).  Checks the stream head/tail
+    # zero-pad and the ragged-tail masking all at once.
+    h = rng.standard_normal(10)
+    n = 257 * 128 + 37  # ragged: n % 128 != 0, n % seg != 0
+    x = rng.standard_normal((5, n)).astype(np.float32)
+    got = np.asarray(
+        fir1d_ideal_rows_mxu(x, h, precision=precision, block_rows=8)
+    )
+    expected = fir1d_ideal_golden_rows(x, h)
+    tol = dict(rtol=1e-5, atol=1e-5) if precision == "highest" else \
+        dict(rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(got, expected, **tol)
 
 
 def test_chain_mxu_channelizer_matches_jnp(rng):

@@ -80,6 +80,29 @@ def test_mxu_resample_segmented(rng):
     np.testing.assert_allclose(got, gold, rtol=1e-4, atol=0.02)
 
 
+def test_mxu_resample_wide_multi_superblock(rng):
+    # ≥3 column superblocks of the grid-native wide path (seg_out =
+    # 8192 outputs for up=2) with a ragged last block: covers the
+    # stream-head zero halo, interior halo handoff, and tail masking.
+    h = design_lowpass(63, 0.3, gain=2)
+    x = rng.integers(0, 256, size=(3, 60_000)).astype(np.float32)
+    got = np.asarray(resample_poly_mxu(x, h, 2, 3), np.float64)
+    gold = resample_poly_golden(x, h, 2, 3)
+    assert got.shape == gold.shape
+    np.testing.assert_allclose(got, gold, rtol=1e-4, atol=0.02)
+
+
+def test_mxu_resample_long_branch_fallback(rng):
+    # J = 513 branch taps: outside the wide kernel's one-tile halo
+    # budget (first_read < −128) — must fall back to the windowed path
+    # and still match golden.
+    h = design_lowpass(1025, 0.2, gain=2)
+    x = rng.integers(0, 256, size=(2, 3000)).astype(np.float32)
+    got = np.asarray(resample_poly_mxu(x, h, 2, 3), np.float64)
+    gold = resample_poly_golden(x, h, 2, 3)
+    np.testing.assert_allclose(got, gold, rtol=1e-4, atol=0.2)
+
+
 def test_resample_poly_auto_dispatch_cpu_exact(rng):
     # On CPU "auto" stays on the exact slice path (bit-stable).
     h = design_lowpass(33, 0.4, gain=2)

@@ -31,6 +31,15 @@ FFT gate (70 dB), so it is the default for the model path; pass
 
 Used by the DSP chain's channelizer (``models/chain.py``) and available
 as the ``fir1d_ideal_rows_mxu`` drop-in for the jnp model path.
+
+Wide rows (> ``MAX_FULLROW_LANES`` lane tiles) run on a grid-native
+(row-block × column-superblock) kernel whose L−1 column halo rides two
+one-lane-tile operands of the same array — zero staging copies (r3; the
+r2 overlap-save windows paid ~4 extra HBM passes).  At the chain's
+row-poor shapes (32 rows × 1.33 M) every MXU pass is fill-latency-bound,
+so the wide kernel also merges the two side dots into one vstacked-band
+dot when ``left + center ≤ 128`` (taps ≤ 129): measured 2.24 → 1.05 ms
+for the chain's 63-tap channelize stage on v5e.
 """
 
 from __future__ import annotations
@@ -158,6 +167,195 @@ def _fir_f32_fullrow_kernel(
         o_ref[:, tl * LANE : (tl + 1) * LANE] = acc
 
 
+#: Column-superblock width of the wide-row grid kernel, in lane tiles.
+#: 64 tiles = 8192 f32 columns; the per-superblock halo cost is
+#: 2·128/8192 ≈ 3% extra reads and the unrolled tile loop stays at a
+#: sane compile time.
+WIDE_SEG_TILES = 64
+
+#: Main-block VMEM budget of the wide grid kernels.  Larger than the
+#: narrow kernel's ``FULLROW_BLOCK_BYTES``: each MXU pass streams only
+#: ``block_rows`` rows, so row-poor blocks are fill-latency-bound —
+#: 4 MB lets ``block_rows`` reach the full 128 MXU rows at the default
+#: superblock width (total VMEM per program ≈ 16 MB with the bf16
+#: splits, well under the 100 MB limit).
+WIDE_BLOCK_BYTES = 4 * 1024 * 1024
+
+
+def _fir_f32_wide_kernel(
+    a_prev_ref,  # (left, 128)
+    a_cur_ref,   # (128, 128)
+    a_next_ref,  # (center, 128)
+    *rest,       # ["bf16x3": lo-planes x3], x_main, x_prev, x_next, out
+    left: int,
+    center: int,
+    bf16x3: bool,
+    n: int,
+    seg: int,
+    grid_cols: int,
+):
+    """One (row-block × column-superblock) program of the wide kernel.
+
+    The r3 wide-row redesign: instead of materializing overlapping
+    windows (pad → slice-concat → kernel → slice-concat ≈ 4 extra HBM
+    passes, the whole gap between the chain channelizer's measured 19
+    Gsps and its 81 Gsps f32 roofline), the grid walks column
+    superblocks of the *original* array and the L−1 column halo rides
+    two one-lane-tile operands of the same array (previous block's tail
+    tile, next block's head tile — the 2-D kernel's row-halo idea,
+    ``fir2d_mxu.py``, turned sideways).  Stream edges and the ragged
+    row tail are realized in-kernel: tiles whose absolute column ≥ n
+    are zeroed (the same-mode zero-pad contract), so the input needs no
+    padding pass at all.
+    """
+    if bf16x3:
+        apl_ref, acl_ref, anl_ref, xm_ref, xp_ref, xn_ref, o_ref = rest
+    else:
+        xm_ref, xp_ref, xn_ref, o_ref = rest
+    c = pl.program_id(1)
+    block_rows = xm_ref.shape[0]
+    col_tiles = seg // LANE
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    x = xm_ref[:]
+    if n % seg:
+        # Ragged tail: zero garbage columns past the true row length
+        # (only the last superblock has any; the select elsewhere is a
+        # compare against an always-true bound, fused into the load).
+        col_abs = c * seg + jax.lax.broadcasted_iota(
+            jnp.int32, (1, seg), 1)
+        x = jnp.where(col_abs < n, x, jnp.float32(0.0))
+    prev_t = None
+    if left:
+        # Previous superblock's tail tile; zeros at the stream head
+        # (block 0's index map clamps to tile 0 — garbage, masked here).
+        prev_t = jnp.where(c == 0, jnp.float32(0.0),
+                           xp_ref[:, LANE - left:])
+    next_t = None
+    if center:
+        # Next superblock's head tile; zeros at the stream tail and in
+        # the ragged region (clamped index map ⇒ garbage, masked here).
+        nxt_abs = (c + 1) * seg + jax.lax.broadcasted_iota(
+            jnp.int32, (1, center), 1)
+        next_t = jnp.where((c < grid_cols - 1) & (nxt_abs < n),
+                           xn_ref[:, :center], jnp.float32(0.0))
+
+    # Side-dot merge: when both halo bands fit one contraction tile
+    # (left + center ≤ 128, i.e. taps ≤ 129), fold the prev and next
+    # contributions into ONE dot against the vstacked side band —
+    # [prev_win | next_win] @ [[A_prev], [A_next]].  Each MXU pass at
+    # the chain's M = 32 rows is fill-latency-bound (cost is
+    # K-independent up to 128), so 2 dots/tile instead of 3 buys ~1.5×
+    # on compute-bound row-poor workloads.
+    merge_sides = bool(left) and bool(center) and left + center <= LANE
+
+    if bf16x3:
+        xh, xl = _split_bf16(x)
+        ph, pl_ = _split_bf16(prev_t) if left else (None, None)
+        nh, nl = _split_bf16(next_t) if center else (None, None)
+
+        def contrib(hs, ls, hi, lo):
+            return dot(hs, hi) + dot(ls, hi) + dot(hs, lo)
+
+        a_side_hi = a_side_lo = None
+        if merge_sides:
+            a_side_hi = jnp.concatenate(
+                [a_prev_ref[:], a_next_ref[:]], axis=0)
+            a_side_lo = jnp.concatenate([apl_ref[:], anl_ref[:]], axis=0)
+
+        for tl in range(col_tiles):
+            s = slice(tl * LANE, (tl + 1) * LANE)
+            acc = contrib(xh[:, s], xl[:, s], a_cur_ref[:], acl_ref[:])
+            p_hi = p_lo = n_hi = n_lo = None
+            if left:
+                p_hi = ph if tl == 0 else xh[:, tl * LANE - left: tl * LANE]
+                p_lo = pl_ if tl == 0 else xl[:, tl * LANE - left: tl * LANE]
+            if center:
+                n_hi = (nh if tl == col_tiles - 1 else
+                        xh[:, (tl + 1) * LANE: (tl + 1) * LANE + center])
+                n_lo = (nl if tl == col_tiles - 1 else
+                        xl[:, (tl + 1) * LANE: (tl + 1) * LANE + center])
+            if merge_sides:
+                s_hi = jnp.concatenate([p_hi, n_hi], axis=1)
+                s_lo = jnp.concatenate([p_lo, n_lo], axis=1)
+                acc = acc + contrib(s_hi, s_lo, a_side_hi, a_side_lo)
+            else:
+                if left:
+                    acc = acc + contrib(p_hi, p_lo, a_prev_ref[:],
+                                        apl_ref[:])
+                if center:
+                    acc = acc + contrib(n_hi, n_lo, a_next_ref[:],
+                                        anl_ref[:])
+            o_ref[:, s] = acc
+        return
+
+    dot = functools.partial(dot, precision=jax.lax.Precision.HIGHEST)
+    a_side = (jnp.concatenate([a_prev_ref[:], a_next_ref[:]], axis=0)
+              if merge_sides else None)
+    for tl in range(col_tiles):
+        s = slice(tl * LANE, (tl + 1) * LANE)
+        acc = dot(x[:, s], a_cur_ref[:])
+        prev = nxt = None
+        if left:
+            prev = (prev_t if tl == 0 else
+                    x[:, tl * LANE - left: tl * LANE])
+        if center:
+            nxt = (next_t if tl == col_tiles - 1 else
+                   x[:, (tl + 1) * LANE: (tl + 1) * LANE + center])
+        if merge_sides:
+            acc = acc + dot(jnp.concatenate([prev, nxt], axis=1), a_side)
+        else:
+            if left:
+                acc = acc + dot(prev, a_prev_ref[:])
+            if center:
+                acc = acc + dot(nxt, a_next_ref[:])
+        o_ref[:, s] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("left", "center", "block_rows", "bf16x3", "interpret"),
+)
+def _fir_f32_wide(x, planes, left, center, block_rows, bf16x3, interpret):
+    """Grid-native wide-row launch: (row blocks × column superblocks)."""
+    batch, n = x.shape
+    seg = WIDE_SEG_TILES * LANE
+    grid_rows = -(-batch // block_rows)
+    grid_cols = -(-n // seg)
+    n_tiles = -(-n // LANE)
+    main_spec = pl.BlockSpec((block_rows, seg), lambda r, c: (r, c),
+                             memory_space=pltpu.VMEM)
+    prev_spec = pl.BlockSpec(
+        (block_rows, LANE),
+        lambda r, c: (r, jnp.maximum(c * WIDE_SEG_TILES - 1, 0)),
+        memory_space=pltpu.VMEM)
+    next_spec = pl.BlockSpec(
+        (block_rows, LANE),
+        lambda r, c: (r, jnp.minimum((c + 1) * WIDE_SEG_TILES,
+                                     n_tiles - 1)),
+        memory_space=pltpu.VMEM)
+    plane_spec = lambda a: pl.BlockSpec(  # noqa: E731
+        a.shape, lambda r, c: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [plane_spec(a) for a in planes] + [
+        main_spec, prev_spec, next_spec]
+    return pl.pallas_call(
+        functools.partial(
+            _fir_f32_wide_kernel, left=left, center=center, bf16x3=bf16x3,
+            n=n, seg=seg, grid_cols=grid_cols),
+        grid=(grid_rows, grid_cols),
+        in_specs=in_specs,
+        out_specs=main_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, n), jnp.float32),
+        # NOT aliased in place: superblock c+1 reads block c's tail tile
+        # as its halo, which an in-place write would have clobbered
+        # (same argument as the 2-D kernel's row halo, fir2d_mxu.py).
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*planes, x, x, x)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("left", "center", "block_rows", "bf16x3", "interpret"),
@@ -218,35 +416,33 @@ def fir1d_ideal_rows_mxu(
 
         return fir1d_ideal_rows_jnp(x, h)
     if lanes > MAX_FULLROW_LANES:
-        # Wide rows: overlap-save segmentation — fold time into batch
-        # rows with L-1 halo margins so every segment is an independent
-        # row of the full-row kernel (central outputs see no zero-pad).
+        # Wide rows: grid-native column superblocks with one-tile halo
+        # operands — zero staging copies (r3; the r2 overlap-save
+        # windows paid ~4 extra HBM passes in pad/concat relayouts).
+        a_prev, a_cur, a_next = build_tile_band_planes_f32(h)
         center = num_taps // 2
-        e = num_taps - 1 - center
-        seg = (MAX_FULLROW_LANES // 2) * LANE
-        num_seg = -(-n // seg)
-        xp = jnp.pad(x_f32, ((0, 0), (e, num_seg * seg - n + center)))
-        windows = jnp.concatenate(
-            [
-                jax.lax.slice(
-                    xp, (0, s * seg), (batch, s * seg + seg + e + center)
-                )
-                for s in range(num_seg)
-            ],
-            axis=0,
-        )  # (S·B, seg + L - 1), segment-major
-        out_ext = fir1d_ideal_rows_mxu(
-            windows, h, precision=precision, block_rows=block_rows,
-            interpret=interpret,
+        left = num_taps - 1 - center
+        seg = WIDE_SEG_TILES * LANE
+        if block_rows is None:
+            by_vmem = max(1, WIDE_BLOCK_BYTES // (4 * seg))
+            block_rows = int(min(_round_up(max(batch, 1), 8),
+                                 _round_up(by_vmem, 8)))
+        bf16x3 = precision == "bf16x3"
+        plane_arrays = [jnp.asarray(a) for a in (a_prev, a_cur, a_next)]
+        if bf16x3:
+            his, los = [], []
+            for a in plane_arrays:
+                hi, lo = _split_bf16(a)
+                his.append(hi)
+                los.append(lo)
+            planes = tuple(his) + tuple(los)
+        else:
+            planes = tuple(plane_arrays)
+        return _fir_f32_wide(
+            x_f32, planes, left, center, block_rows, bf16x3,
+            (jax.default_backend() != "tpu") if interpret is None
+            else interpret,
         )
-        core = out_ext[:, e : e + seg]
-        # (S·B, seg) → (B, S·seg) → crop; segments are stacked along
-        # axis 0 in s-major order.
-        out = jnp.concatenate(
-            [core[s * batch : (s + 1) * batch] for s in range(num_seg)],
-            axis=1,
-        )
-        return out[:, :n]
 
     a_prev, a_cur, a_next = build_tile_band_planes_f32(h)
     center = num_taps // 2
