@@ -104,7 +104,13 @@ def test_mxu_resample_long_branch_fallback(rng):
 
 
 def test_resample_poly_auto_dispatch_cpu_exact(rng):
-    # On CPU "auto" stays on the exact slice path (bit-stable).
+    # On CPU "auto" stays on the exact slice path (bit-stable).  On
+    # real hardware "auto" deliberately picks the bf16x3 MXU kernel, so
+    # the bit-equality claim only holds on the CPU backend.
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("auto dispatch picks the MXU kernel on TPU by design")
     h = design_lowpass(33, 0.4, gain=2)
     x = rng.integers(0, 256, size=(2, 999)).astype(np.float32)
     got = np.asarray(resample_poly(x, h, 2, 3), np.float64)
