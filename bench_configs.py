@@ -290,6 +290,12 @@ def _chain_throughput(cfg, scale) -> dict:
         + (2 * n_rs + n_rs) * 4            # demod: 2 planes in, 1 out
     )
     sol_s = bytes_moved / 819e9
+    # Measured wall for an f32 two-buffer streaming pass at the wide
+    # kernels' block geometry (≤8 MB blocks): ~355 GB/s on this chip —
+    # a bare zero-compute Pallas f32 copy, docs/roofline.md "f32
+    # streaming wall".  The datasheet fraction above undercounts what
+    # the stages can actually reach.
+    wall_s = bytes_moved / 355e9
     return {
         "chain_msps": round(n_in / t_chain / 1e6, 1),
         "chain_backend": jax.default_backend(),
@@ -299,6 +305,7 @@ def _chain_throughput(cfg, scale) -> dict:
             k: round(v["seconds"], 5) for k, v in stages.items()},
         "bottleneck_stage": bottleneck,
         "chain_sol_fraction": round(sol_s / t_chain, 3),
+        "chain_f32_wall_fraction": round(wall_s / t_chain, 3),
         "stage_sum_seconds": round(t_rs + t_ch + t_dm, 5),
         "chain_seconds": round(t_chain, 5),
     }

@@ -60,6 +60,22 @@ def test_mxu_resample_matches_golden(rng, up, down):
     np.testing.assert_allclose(got, gold, rtol=1e-4, atol=0.02)
 
 
+@pytest.mark.parametrize("group", [2, 4, 8])
+def test_mxu_resample_grouped_band_matches_ungrouped(rng, group):
+    # The aligned grouped band (perf knob, rejected as default — see
+    # resample_mxu.py ablation note) must compute the same windows with
+    # the offset absorbed into zero band rows; only f32 accumulation
+    # order differs (longer dots), so agreement is near-ulp, not
+    # bit-exact.
+    h = design_lowpass(63, 1 / 3.0)
+    x = rng.standard_normal((2, 40000)).astype(np.float32)
+    base = np.asarray(resample_poly_mxu(x, h, 2, 3, precision="highest"))
+    got = np.asarray(
+        resample_poly_mxu(x, h, 2, 3, precision="highest", group=group)
+    )
+    np.testing.assert_allclose(got, base, rtol=2e-6, atol=1e-5)
+
+
 def test_mxu_resample_highest_precision(rng):
     h = design_lowpass(63, 0.3, gain=2)
     x = rng.integers(0, 256, size=(2, 1500)).astype(np.float32)

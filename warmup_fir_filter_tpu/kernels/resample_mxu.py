@@ -53,14 +53,22 @@ MAX_OUT_TILES = 128
 
 
 def build_resample_band(
-    h: np.ndarray, up: int, down: int
+    h: np.ndarray, up: int, down: int, group: int = 1
 ) -> tuple[np.ndarray, int, int, int, int]:
     """Tile-independent resampling band matrix.
 
-    Returns ``(A, K, ds, beta0, J)``: the (K, 128) float32 band, its row
-    count, the per-tile input stride ``ds = 128·Q/P``, ``β_0`` (the
-    input anchor of output 0, used by callers to position the first
-    window), and the branch length J.  Requires ``P | 128``.
+    Returns ``(A, K, ds, beta0, J)``: the (K, group·128) float32 band,
+    its row count, the per-GROUP input stride ``ds = group·128·Q/P``,
+    ``β_0`` (the input anchor of output 0, used by callers to position
+    the first window), and the branch length J.  Requires ``P | 128``.
+
+    ``group`` maps ``group`` consecutive output lane tiles through ONE
+    band (one dot per bf16 term).  When ``P | group`` the group input
+    stride is a multiple of 128, so a caller that absorbs the constant
+    sub-tile offset of the first window into extra zero band rows reads
+    every window LANE-ALIGNED — the r3 2-D ablation measured misaligned
+    band operands at ~½ the aligned rate, and grouping also amortizes
+    the per-dot MXU overhead over ``group`` output tiles.
     """
     if 128 % up:
         raise ValueError(
@@ -71,17 +79,17 @@ def build_resample_band(
     center = num_taps // 2
     taps = _polyphase_taps(h64, up)  # (P, J)
     j_count = taps.shape[1]
-    i = np.arange(LANE)
+    i = np.arange(group * LANE)
     u = i * down + center
     r_i = u % up
     beta = (u - r_i) // up
     db = beta - beta[0]
     k_rows = int(db[-1]) + j_count
-    a = np.zeros((k_rows, LANE), np.float32)
-    for col in range(LANE):
+    a = np.zeros((k_rows, group * LANE), np.float32)
+    for col in range(group * LANE):
         rows = db[col] + (j_count - 1) - np.arange(j_count)
         a[rows, col] = taps[r_i[col]]
-    ds = 128 * down // up
+    ds = group * 128 * down // up
     return a, k_rows, ds, int(beta[0]), j_count
 
 
@@ -131,6 +139,7 @@ def _resample_f32_wide_kernel(
     first_read: int,
     n: int,
     bf16x3: bool,
+    span: int,
 ):
     """Grid-native resample program (r3: zero staging copies).
 
@@ -141,6 +150,14 @@ def _resample_f32_wide_kernel(
     FIR design (``fir_float_mxu._fir_f32_wide_kernel``).  Stream edges
     and the ragged tail are zeroed in-kernel (the same-mode contract's
     zero-pad), so the input is never padded or re-laid-out in HBM.
+
+    ``span`` is the output width (lanes) each band dot produces: with a
+    grouped band (``build_resample_band(group=span // 128)``) and
+    ``first_read``/``k_rows`` pre-adjusted by the caller so every
+    ``s`` lands on a lane-tile boundary, the operand slices below are
+    lane-ALIGNED — no per-dot realignment relayout (measured on the
+    chain's 2/3·63-tap stage: the aligned grouped band is what closes
+    the stage's gap to the channelizer's byte rate).
     """
     c = pl.program_id(1)
     seg_in = xm_ref.shape[1]
@@ -159,17 +176,17 @@ def _resample_f32_wide_kernel(
 
     if bf16x3:
         xh, xl = _split_bf16(x_full)
-        for p in range(out_tiles):
+        for p in range(out_tiles * LANE // span):
             s = LANE + first_read + p * ds
             hs, ls = xh[:, s : s + k_rows], xl[:, s : s + k_rows]
             acc = (dot(hs, a_hi_ref[:]) + dot(ls, a_hi_ref[:])
                    + dot(hs, a_lo_ref[:]))
-            o_ref[:, p * LANE : (p + 1) * LANE] = acc
+            o_ref[:, p * span : (p + 1) * span] = acc
     else:
         dot = functools.partial(dot, precision=jax.lax.Precision.HIGHEST)
-        for p in range(out_tiles):
+        for p in range(out_tiles * LANE // span):
             s = LANE + first_read + p * ds
-            o_ref[:, p * LANE : (p + 1) * LANE] = dot(
+            o_ref[:, p * span : (p + 1) * span] = dot(
                 x_full[:, s : s + k_rows], a_hi_ref[:]
             )
 
@@ -177,7 +194,7 @@ def _resample_f32_wide_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("ds", "k_rows", "first_read", "seg_in", "seg_out",
-                     "out_len", "block_rows", "bf16x3", "interpret"),
+                     "out_len", "block_rows", "bf16x3", "interpret", "span"),
 )
 def _resample_f32_wide(
     x,  # (B, n) f32 — the original rows, no staging
@@ -192,6 +209,7 @@ def _resample_f32_wide(
     block_rows: int,
     bf16x3: bool,
     interpret: bool,
+    span: int = LANE,
 ):
     batch, n = x.shape
     grid_rows = -(-batch // block_rows)
@@ -215,7 +233,7 @@ def _resample_f32_wide(
     return pl.pallas_call(
         functools.partial(
             _resample_f32_wide_kernel, ds=ds, k_rows=k_rows,
-            first_read=first_read, n=n, bf16x3=bf16x3,
+            first_read=first_read, n=n, bf16x3=bf16x3, span=span,
         ),
         grid=(grid_rows, grid_cols),
         in_specs=[band_spec(a_hi), band_spec(a_lo), main_spec, prev_spec,
@@ -279,6 +297,7 @@ def resample_poly_mxu(
     block_rows: int | None = None,
     interpret: bool | None = None,
     max_out_tiles: int = MAX_OUT_TILES,
+    group: int | None = None,
 ) -> jax.Array:
     """Float32 polyphase resampler on the MXU over (C, T) rows.
 
@@ -322,18 +341,53 @@ def resample_poly_mxu(
     first_read = beta0 - (j_count - 1)
     if (first_read >= -LANE and first_read + k_rows - ds <= LANE
             and seg_in_w == tiles_per_seg * ds):
-        if bf16x3:
-            a_hi, a_lo = _split_bf16(jnp.asarray(a))
+        # Aligned grouped band (r3 ablation, REJECTED as default): with
+        # up | group the group stride is a multiple of 128, so absorbing
+        # the constant sub-tile offset into `offset` zero band rows
+        # makes every operand slice lane-aligned and amortizes the
+        # per-dot overhead ×group.  Measured on the chain's 2/3·63-tap
+        # 32×2M stage (v5e): group=1 1.23 ms (348 GB/s) → g=2 1.44 →
+        # g=4 2.69 → g=8 5.03 ms — MONOTONICALLY WORSE: at these shapes
+        # dot cost scales with streamed band rows K (≈ g·128·Q/P + J),
+        # not per-dot overhead, and operand alignment is not the
+        # bottleneck (the f32 wide kernels sit at the measured f32
+        # streaming rate, see docs/roofline.md).  Kept as an explicit
+        # knob for future shapes; auto always picks 1.
+        if group is None:
+            candidates = [1]
         else:
-            a_hi = jnp.asarray(a)
+            candidates = [group]
+        for g in candidates:
+            if g == 1:
+                a_g, k_g, ds_g, fr_g = a, k_rows, ds, first_read
+                break
+            a_g, k_g, ds_g, beta0_g, j_g = build_resample_band(
+                h64, up, down, g)
+            fr_g = beta0_g - (j_g - 1)
+            off = (LANE + fr_g) % LANE
+            a_g = np.pad(a_g, ((off, 0), (0, 0)))
+            k_g += off
+            fr_g -= off
+            fits = (fr_g >= -LANE and fr_g + k_g - ds_g <= LANE
+                    and seg_in_w % ds_g == 0
+                    and k_g * g * LANE * 4 <= 16 * 1024 * 1024)
+            if fits:
+                break
+        else:  # explicit group that doesn't fit → legacy ungrouped
+            a_g, k_g, ds_g, fr_g, g = a, k_rows, ds, first_read, 1
+        if bf16x3:
+            a_hi, a_lo = _split_bf16(jnp.asarray(a_g))
+        else:
+            a_hi = jnp.asarray(a_g)
             a_lo = jnp.zeros_like(a_hi)
         if block_rows is None:
             by_vmem = max(1, WIDE_BLOCK_BYTES // (4 * seg_in_w))
             block_rows = int(min(-(-max(batch, 1) // 8) * 8,
                                  -(-by_vmem // 8) * 8))
         return _resample_f32_wide(
-            x_f32, a_hi, a_lo, ds, k_rows, first_read, seg_in_w,
+            x_f32, a_hi, a_lo, ds_g, k_g, fr_g, seg_in_w,
             seg_out_w, out_len, block_rows, bf16x3, interp,
+            span=g * LANE,
         )
 
     out_tiles_total = -(-out_len // LANE)
