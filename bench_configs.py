@@ -252,9 +252,12 @@ def _chain_throughput(cfg, scale) -> dict:
                 np.asarray(run(*args))
                 best = min(best, time.perf_counter() - t0)
             times[k] = best
+        # Floor at 1 µs: sub-µs slopes are pure tunnel noise (a 2 M
+        # sample stage cannot finish in under a microsecond) and would
+        # otherwise print absurd Msps in --quick artifacts.
         return max(
             (times[k_pair[1]] - times[k_pair[0]]) / (k_pair[1] - k_pair[0]),
-            1e-9,
+            1e-6,
         )
 
     # Stage inputs: both I/Q planes stacked as rows (what the chain does).
