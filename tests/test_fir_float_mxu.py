@@ -125,3 +125,31 @@ def test_chain_mxu_channelizer_matches_jnp(rng):
         chain_forward(re, im, ChainConfig(channelizer_backend="jnp"))
     )
     np.testing.assert_allclose(out_mxu, out_jnp, rtol=1e-3, atol=1e-4)
+
+@pytest.mark.parametrize("precision", ["bf16x3", "highest"])
+def test_chunked_wide_kernel_matches_jnp(rng, precision):
+    """The capped-unroll (fori_loop) wide kernel — r4 ablation knob,
+    kept non-default after measuring slower than the unrolled form
+    (docs/roofline.md "capped-unroll ablation") — must stay correct:
+    multi-superblock + multi-chunk + ragged tail in one shape."""
+    from warmup_fir_filter_tpu.ops.fir1d import fir1d_ideal_rows_jnp
+
+    h = design_lowpass(63, 0.25)
+    # Wide rows (> MAX_FULLROW_LANES tiles) so the wide-kernel path —
+    # not the fullrow kernel — is actually exercised.
+    n = 128 * 128 * 2 + 37  # 2 superblocks of 128 tiles + ragged tail
+    x = (rng.standard_normal((3, n)) * 50).astype(np.float32)
+    ref = np.asarray(fir1d_ideal_rows_jnp(x, h))
+    got = np.asarray(fir1d_ideal_rows_mxu(
+        x, h, precision=precision, seg_tiles=128, unroll=32))
+    tol = 2e-6 if precision == "highest" else 3e-5
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert got.shape == ref.shape
+    assert err < tol, err
+
+
+def test_chunked_wide_kernel_rejects_bad_unroll(rng):
+    h = design_lowpass(5, 0.25)
+    x = rng.standard_normal((2, 300 * 128)).astype(np.float32)
+    with pytest.raises(ValueError, match="must divide"):
+        fir1d_ideal_rows_mxu(x, h, seg_tiles=8, unroll=3)

@@ -142,3 +142,26 @@ def test_resample_poly_forced_mxu_path(rng):
         resample_poly(x, h, 2, 3, precision="bf16x3"), np.float64)
     gold = resample_poly_golden(x, h, 2, 3)
     np.testing.assert_allclose(got, gold, rtol=1e-4, atol=0.02)
+
+
+def test_mxu_resample_chunked_matches_golden(rng):
+    """Capped-unroll resample chunk kernel (explicit ``unroll=`` knob,
+    non-default — r4 ablation, docs/roofline.md): multi-chunk windows
+    must match the float64 oracle across chunk and superblock seams."""
+    h = design_lowpass(63, 0.3, gain=2)
+    x = rng.standard_normal((3, 6000)).astype(np.float32)
+    gold = resample_poly_golden(x, h, 2, 3)
+    got = np.asarray(
+        resample_poly_mxu(x, h, 2, 3, precision="highest", unroll=4),
+        np.float64)
+    assert got.shape == gold.shape
+    np.testing.assert_allclose(got, gold, rtol=1e-6, atol=1e-3)
+
+
+def test_mxu_resample_group_validation(rng):
+    h = design_lowpass(63, 1 / 3.0)
+    x = rng.standard_normal((2, 4000)).astype(np.float32)
+    with pytest.raises(ValueError, match="group must be >= 1"):
+        resample_poly_mxu(x, h, 2, 3, group=0)
+    with pytest.raises(ValueError, match="multiple of up"):
+        resample_poly_mxu(x, h, 2, 3, unroll=3)

@@ -1,0 +1,373 @@
+"""Single-pass fused DSP chain kernel: resample → channelize → FM demod.
+
+The r4 structural optimization of the BASELINE config-5 chain.  The r3
+chain ran three separate device passes (polyphase 2/3 resample, 63-tap
+channelizer, FM demod), each individually AT the Pallas f32 streaming
+rate (~350-370 GB/s, docs/roofline.md "f32 streaming wall") — but the
+chain's end-to-end cost was the SUM of their HBM round trips
+(~1.6 GB per 16ch × 2M apply).  The r4 capped-unroll ablation settled
+that no per-stage kernel can go meaningfully faster (the Pallas block
+pipeline binds at ~360 GB/s while XLA's fused elementwise reaches
+643 GB/s); the remaining lever is FEWER PASSES.
+
+This kernel runs the whole chain in ONE Pallas pass: input I/Q planes
+are read once (stacked as 2C rows so both planes ride the same band
+matmuls), the resampled and channelized intermediates live only in
+VMEM scratch tiles, and the FM discriminator — including a hand-rolled
+polynomial ``atan2`` (Mosaic has no atan2 lowering) — writes the final
+message rows.  HBM traffic per apply drops from ~1.6 GB to
+``2C·T·4 + C·T'·4`` ≈ 0.34 GB (4.7×).
+
+Stage semantics match the staged ops exactly (same band matrices, same
+zero-pad/edge contracts):
+
+- resample: ``ops/resample.py`` same-mode polyphase contract via
+  ``resample_mxu.build_resample_band`` (the tile-periodic band).
+- channelize: ``ops/fir1d.py`` same-mode zero-pad FIR via
+  ``fir_float_mxu.build_tile_band_planes_f32`` (tri-tile band, with the
+  side-dot merge for taps ≤ 129).
+- demod: ``ops/demod.py`` polar discriminator, first output 0.
+
+Numerics: bf16x3 band dots (~114 dB SNR, the chain's default) or
+strict-f32 ``highest``; the polynomial atan2 is accurate to ~2.4e-7 max
+abs error vs ``np.arctan2`` (f32 ulp level — measured on v5e).
+
+Reference lineage: the chain itself is the north-star addition (no
+reference analogue); the per-stage semantics it fuses descend from the
+reference's scalar FIR hot loop (``fir_1d_fixed_ref.py:95-107``) and
+complex scaffolding (``lib/mycomplex.h:10-41``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from warmup_fir_filter_tpu.kernels.fir_float_mxu import (
+    _split_bf16,
+    build_tile_band_planes_f32,
+)
+from warmup_fir_filter_tpu.kernels.fir_mxu import LANE
+from warmup_fir_filter_tpu.kernels.resample_mxu import build_resample_band
+from warmup_fir_filter_tpu.ops.resample import _plan
+
+#: Output lane tiles per fused superblock.  64 tiles keeps the fully
+#: unrolled three-stage body at a sane compile time (~600 dots).
+FUSED_SEG_TILES = 64
+
+#: Input halo width (lane tiles) on each side of an input superblock:
+#: covers the two extra resampled tiles (one per side beyond the extra
+#: channelizer tile) at the largest supported stride.
+_HALO_TILES = 4
+
+
+def _atan2_coeffs() -> np.ndarray:
+    """Odd-polynomial fit of atan(a) = a·P(a²) on a ∈ [0, 1].
+
+    Least-squares on Chebyshev nodes, degree 10 in a² — residual
+    ~1.5e-10 (float64 fit), far below f32 resolution.  Deterministic.
+    """
+    a = np.cos(np.pi * (np.arange(2000) + 0.5) / 2000) * 0.5 + 0.5
+    s = a * a
+    v = np.vander(s, 11, increasing=True) * a[:, None]
+    coef, *_ = np.linalg.lstsq(v, np.arctan(a), rcond=None)
+    return coef
+
+
+_ATAN_COEF = _atan2_coeffs()
+
+
+def atan2_poly(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized four-quadrant atan2 from VPU-lowered primitives.
+
+    Mosaic has no ``atan2`` lowering; this is the standard
+    octant-reduced polynomial form (measured 2.4e-7 max abs error vs
+    ``np.arctan2`` on v5e).  ``atan2(0, 0) = 0`` like numpy.
+    """
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    a = lo / jnp.where(hi == 0, jnp.float32(1), hi)
+    s = a * a
+    p = jnp.float32(_ATAN_COEF[10])
+    for c in _ATAN_COEF[9::-1]:
+        p = p * s + jnp.float32(c)
+    r = p * a
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    # copysign, not where(y<0): atan2(-0.0, -1) is -π like numpy.
+    return jnp.copysign(r, y)
+
+
+def _chain_fused_kernel(
+    # Band operands (hi then lo planes; lo are dummies for "highest").
+    rs_hi_ref, rs_lo_ref,          # (K, 128) resample band
+    chp_hi_ref, chc_hi_ref, chn_hi_ref,   # channelizer tri-band hi
+    chp_lo_ref, chc_lo_ref, chn_lo_ref,   # channelizer tri-band lo
+    xm_ref,    # (2C, seg_in) stacked I/Q input superblock
+    xl_ref,    # (2C, H·128) left input halo
+    xr_ref,    # (2C, H·128) right input halo
+    o_ref,     # (C, seg_out) demodulated message block
+    *,
+    ds: int,
+    k_rows: int,
+    first_read: int,
+    ch_left: int,
+    ch_center: int,
+    n: int,
+    out_len: int,
+    channels: int,
+    seg_tiles: int,
+    inv_gain: float,
+    bf16x3: bool,
+):
+    c = pl.program_id(0)
+    seg_in = xm_ref.shape[1]
+    halo = xl_ref.shape[1]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if not bf16x3:
+        dot = functools.partial(dot, precision=jax.lax.Precision.HIGHEST)
+
+    # --- assemble the extended input window (stream edges zeroed) ---
+    x = xm_ref[:]
+    col_abs = c * seg_in + jax.lax.broadcasted_iota(
+        jnp.int32, (1, seg_in), 1)
+    x = jnp.where(col_abs < n, x, jnp.float32(0.0))
+    lt = jnp.where(c == 0, jnp.float32(0.0), xl_ref[:])
+    rt_abs = (c + 1) * seg_in + jax.lax.broadcasted_iota(
+        jnp.int32, (1, halo), 1)
+    rt = jnp.where(rt_abs < n, xr_ref[:], jnp.float32(0.0))
+    x_ext = jnp.concatenate([lt, x, rt], axis=1)
+
+    def contrib(xh, xl, a_hi, a_lo):
+        if bf16x3:
+            return (dot(xh, a_hi) + dot(xl, a_hi) + dot(xh, a_lo))
+        return dot(xh, a_hi)
+
+    if bf16x3:
+        xh, xlo = _split_bf16(x_ext)
+    else:
+        xh, xlo = x_ext, None
+
+    # --- stage 1: resample tiles q ∈ [-2, seg_tiles+1) into scratch ---
+    rs_tiles = []
+    for q in range(-2, seg_tiles + 1):
+        s = halo + q * ds + first_read
+        rs_tiles.append(contrib(
+            xh[:, s : s + k_rows],
+            xlo[:, s : s + k_rows] if bf16x3 else None,
+            rs_hi_ref[:], rs_lo_ref[:]))
+    rs = jnp.concatenate(rs_tiles, axis=1)  # (2C, (seg_tiles+3)·128)
+    # Same-mode pad of the *resampled* stream: zero cols outside
+    # [0, out_len) so the channelizer sees the staged path's zero-pad.
+    rs_abs = (c * seg_tiles - 2) * LANE + jax.lax.broadcasted_iota(
+        jnp.int32, (1, rs.shape[1]), 1)
+    rs = jnp.where((rs_abs >= 0) & (rs_abs < out_len), rs, jnp.float32(0.0))
+
+    if bf16x3:
+        rh, rl = _split_bf16(rs)
+    else:
+        rh, rl = rs, None
+    merge = bool(ch_left) and bool(ch_center) and ch_left + ch_center <= LANE
+    if merge:
+        side_hi = jnp.concatenate([chp_hi_ref[:], chn_hi_ref[:]], axis=0)
+        side_lo = (jnp.concatenate([chp_lo_ref[:], chn_lo_ref[:]], axis=0)
+                   if bf16x3 else None)
+
+    # --- stage 2: channelize tiles p ∈ [-1, seg_tiles) from scratch ---
+    # rs tile q sits at scratch cols [(q+2)·128, (q+3)·128).
+    ch_tiles = []
+    for p in range(-1, seg_tiles):
+        base = (p + 2) * LANE
+        acc = contrib(rh[:, base : base + LANE],
+                      rl[:, base : base + LANE] if bf16x3 else None,
+                      chc_hi_ref[:], chc_lo_ref[:])
+        p_sl = slice(base - ch_left, base)
+        n_sl = slice(base + LANE, base + LANE + ch_center)
+        if merge:
+            sh = jnp.concatenate([rh[:, p_sl], rh[:, n_sl]], axis=1)
+            sl = (jnp.concatenate([rl[:, p_sl], rl[:, n_sl]], axis=1)
+                  if bf16x3 else None)
+            acc = acc + contrib(sh, sl, side_hi, side_lo)
+        else:
+            if ch_left:
+                acc = acc + contrib(
+                    rh[:, p_sl], rl[:, p_sl] if bf16x3 else None,
+                    chp_hi_ref[:], chp_lo_ref[:])
+            if ch_center:
+                acc = acc + contrib(
+                    rh[:, n_sl], rl[:, n_sl] if bf16x3 else None,
+                    chn_hi_ref[:], chn_lo_ref[:])
+        ch_tiles.append(acc)
+    ch = jnp.concatenate(ch_tiles, axis=1)  # (2C, (seg_tiles+1)·128)
+
+    # --- stage 3: FM discriminator (split planes, shift-by-one) ---
+    # ch tile p sits at scratch cols [(p+1)·128, (p+2)·128).
+    re_ch = ch[:channels]
+    im_ch = ch[channels:]
+    cur = slice(LANE, LANE + seg_tiles * LANE)
+    prv = slice(LANE - 1, LANE - 1 + seg_tiles * LANE)
+    re_c, im_c = re_ch[:, cur], im_ch[:, cur]
+    re_p, im_p = re_ch[:, prv], im_ch[:, prv]
+    d = atan2_poly(im_c * re_p - re_c * im_p,
+                   re_c * re_p + im_c * im_p) * jnp.float32(inv_gain)
+    # First stream sample has no predecessor → 0 (ops/demod.py).
+    out_abs = c * seg_tiles * LANE + jax.lax.broadcasted_iota(
+        jnp.int32, (1, seg_tiles * LANE), 1)
+    o_ref[:] = jnp.where(out_abs == 0, jnp.float32(0.0), d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ds", "k_rows", "first_read", "ch_left", "ch_center",
+                     "out_len", "channels", "seg_tiles", "inv_gain",
+                     "bf16x3", "interpret"),
+)
+def _chain_fused(
+    x,            # (2C, T) stacked I/Q rows
+    rs_planes,    # (rs_hi, rs_lo)
+    ch_planes,    # (p_hi, c_hi, n_hi, p_lo, c_lo, n_lo)
+    ds: int,
+    k_rows: int,
+    first_read: int,
+    ch_left: int,
+    ch_center: int,
+    out_len: int,
+    channels: int,
+    seg_tiles: int,
+    inv_gain: float,
+    bf16x3: bool,
+    interpret: bool,
+):
+    rows, n = x.shape
+    seg_in = seg_tiles * ds
+    seg_out = seg_tiles * LANE
+    halo = _HALO_TILES * LANE
+    t_in = seg_in // LANE
+    grid_cols = -(-out_len // seg_out)
+    hb = t_in // _HALO_TILES  # halo blocks per superblock (H | t_in)
+    main_spec = pl.BlockSpec((rows, seg_in), lambda c: (0, c),
+                             memory_space=pltpu.VMEM)
+    left_spec = pl.BlockSpec(
+        (rows, halo), lambda c: (0, jnp.maximum(c * hb - 1, 0)),
+        memory_space=pltpu.VMEM)
+    n_halo_blocks = -(-n // halo)
+    right_spec = pl.BlockSpec(
+        (rows, halo),
+        lambda c: (0, jnp.minimum((c + 1) * hb, n_halo_blocks - 1)),
+        memory_space=pltpu.VMEM)
+    band_spec = lambda a: pl.BlockSpec(  # noqa: E731
+        a.shape, lambda c: (0, 0), memory_space=pltpu.VMEM)
+    operands = list(rs_planes) + list(ch_planes)
+    return pl.pallas_call(
+        functools.partial(
+            _chain_fused_kernel, ds=ds, k_rows=k_rows,
+            first_read=first_read, ch_left=ch_left, ch_center=ch_center,
+            n=n, out_len=out_len, channels=channels, seg_tiles=seg_tiles,
+            inv_gain=inv_gain, bf16x3=bf16x3),
+        grid=(grid_cols,),
+        in_specs=[band_spec(a) for a in operands] + [
+            main_spec, left_spec, right_spec],
+        out_specs=pl.BlockSpec((channels, seg_out), lambda c: (0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((channels, out_len), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*operands, x, x, x)
+
+
+def chain_fused_supported(
+    channels: int, up: int, down: int, rs_taps: int, ch_taps: int
+) -> bool:
+    """Whether the fused single-pass kernel covers this chain config."""
+    if 128 % up or channels < 1 or 2 * channels > 256 or channels % 8:
+        return False
+    if ch_taps > 2 * LANE + 1:
+        return False
+    try:
+        h_probe = np.zeros(rs_taps)
+        h_probe[rs_taps // 2] = 1.0
+        _, k_rows, ds, beta0, j_count = build_resample_band(
+            h_probe, up, down)
+    except ValueError:
+        return False
+    first_read = beta0 - (j_count - 1)
+    halo = _HALO_TILES * LANE
+    if 2 * ds - first_read > halo or first_read + k_rows + ds > halo:
+        return False
+    seg_in_tiles = FUSED_SEG_TILES * ds // LANE
+    if (FUSED_SEG_TILES * ds) % LANE or seg_in_tiles % _HALO_TILES:
+        return False
+    return True
+
+
+def chain_forward_fused(
+    re,
+    im,
+    h_rs: np.ndarray,
+    h_ch: np.ndarray,
+    up: int,
+    down: int,
+    k_f: float,
+    *,
+    precision: str = "bf16x3",
+    interpret: bool | None = None,
+    seg_tiles: int = FUSED_SEG_TILES,
+) -> jax.Array:
+    """Run the fused chain on (C, T) I/Q rows → (C, T') message rows.
+
+    Drop-in for the staged ``models.chain.chain_forward`` composition
+    (``resample_poly`` → ``fir1d_ideal_rows_mxu`` → ``fm_demodulate``)
+    when ``chain_fused_supported`` holds; callers fall back to the
+    staged path otherwise.
+    """
+    if precision not in ("bf16x3", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
+    if k_f <= 0:
+        raise ValueError(f"k_f={k_f} must be > 0")
+    re = jnp.asarray(re, jnp.float32)
+    im = jnp.asarray(im, jnp.float32)
+    if re.shape != im.shape or re.ndim != 2:
+        raise ValueError(f"re/im must be matching (C, T) rows, got "
+                         f"{re.shape} vs {im.shape}")
+    channels, n = re.shape
+    h_rs = np.asarray(h_rs, np.float64)
+    h_ch = np.asarray(h_ch, np.float64)
+    if not chain_fused_supported(channels, up, down, h_rs.size, h_ch.size):
+        raise ValueError("config not supported by the fused chain kernel; "
+                         "use the staged path")
+    out_len, _, _, _ = _plan(n, up, down, h_rs.size)
+    a, k_rows, ds, beta0, j_count = build_resample_band(h_rs, up, down)
+    first_read = beta0 - (j_count - 1)
+    ap, ac, an = build_tile_band_planes_f32(h_ch)
+    ch_center = h_ch.size // 2
+    ch_left = h_ch.size - 1 - ch_center
+    bf16x3 = precision == "bf16x3"
+
+    def split(arr):
+        arr = jnp.asarray(arr, jnp.float32)
+        if bf16x3:
+            return _split_bf16(arr)
+        return arr, jnp.zeros_like(arr)
+
+    rs_hi, rs_lo = split(a)
+    chp_hi, chp_lo = split(ap)
+    chc_hi, chc_lo = split(ac)
+    chn_hi, chn_lo = split(an)
+
+    x = jnp.concatenate([re, im], axis=0)
+    interp = (jax.default_backend() != "tpu") if interpret is None \
+        else interpret
+    return _chain_fused(
+        x, (rs_hi, rs_lo),
+        (chp_hi, chc_hi, chn_hi, chp_lo, chc_lo, chn_lo),
+        ds, k_rows, first_read, ch_left, ch_center, out_len, channels,
+        FUSED_SEG_TILES, float(1.0 / (2.0 * np.pi * k_f)), bf16x3, interp,
+    )

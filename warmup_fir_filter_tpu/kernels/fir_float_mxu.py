@@ -171,7 +171,20 @@ def _fir_f32_fullrow_kernel(
 #: 64 tiles = 8192 f32 columns; the per-superblock halo cost is
 #: 2·128/8192 ≈ 3% extra reads and the unrolled tile loop stays at a
 #: sane compile time.
+#:
+#: r4 NEGATIVE RESULT (docs/roofline.md "capped-unroll ablation"): a
+#: ``lax.fori_loop``-chunked tile loop (``_fir_f32_wide_chunk_kernel``,
+#: explicit ``seg_tiles``/``unroll`` knobs) was built to unlock ≥16 MB
+#: DMA blocks; honest chained (no-perturbation) timing measured the
+#: chunked kernel at 304 GB/s vs 369 for this fully-unrolled form, and
+#: the bare two-buffer f32 copy itself at 305 GB/s for 16 MB blocks vs
+#: 358 at 8 MB — r3's one-off 556 GB/s figure does not reproduce.  The
+#: unrolled 64-tile superblock stays the default.
 WIDE_SEG_TILES = 64
+
+#: Tiles statically unrolled per fori_loop chunk of the (non-default)
+#: chunked wide kernels.
+WIDE_UNROLL_TILES = 64
 
 #: Main-block VMEM budget of the wide grid kernels.  Larger than the
 #: narrow kernel's ``FULLROW_BLOCK_BYTES``: each MXU pass streams only
@@ -312,14 +325,163 @@ def _fir_f32_wide_kernel(
         o_ref[:, s] = acc
 
 
+def _fir_f32_wide_chunk_kernel(
+    a_prev_ref,  # (left, 128)
+    a_cur_ref,   # (128, 128)
+    a_next_ref,  # (center, 128)
+    *rest,       # ["bf16x3": lo-planes x3], x_main, x_prev, x_next, out
+    left: int,
+    center: int,
+    bf16x3: bool,
+    n: int,
+    seg: int,
+    unroll: int,
+):
+    """Capped-unroll wide program: fori_loop over ``unroll``-tile chunks.
+
+    The r4 structural experiment against the f32 streaming wall
+    (VERDICT r3 task 1): a ``lax.fori_loop`` whose chunk loads
+    (``unroll`` lane tiles + one halo tile each side) and stores sit at
+    lane-tile-aligned dynamic offsets (``pl.multiple_of`` proofs keep
+    Mosaic from rejecting/relaying them), while the misaligned
+    tap-window slicing stays *static* inside the chunk — capping compile
+    time so the superblock (= DMA block) can grow past 8 MB.
+
+    MEASURED NEGATIVE RESULT (kept as an explicit knob only): honest
+    chained timing on v5e puts this form at 304 GB/s vs 369 for the
+    fully-unrolled 64-tile kernel, and ≥16 MB DMA blocks are slower
+    than 8 MB even for a bare copy (305 vs 358 GB/s) — see
+    docs/roofline.md "capped-unroll ablation".  Stream edges, the
+    superblock halo tiles, and the ragged tail are realized exactly as
+    in ``_fir_f32_wide_kernel``.
+    """
+    if bf16x3:
+        apl_ref, acl_ref, anl_ref, xm_ref, xp_ref, xn_ref, o_ref = rest
+    else:
+        xm_ref, xp_ref, xn_ref, o_ref = rest
+    c = pl.program_id(1)
+    cw = unroll * LANE
+    n_chunks = seg // cw
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if not bf16x3:
+        dot = functools.partial(dot, precision=jax.lax.Precision.HIGHEST)
+
+    # Superblock-edge halo tiles (same masking as the unrolled kernel).
+    prev_sb = None
+    if left:
+        prev_sb = jnp.where(c == 0, jnp.float32(0.0),
+                            xp_ref[:, LANE - left:])
+    next_sb = None
+    if center:
+        nxt_abs = (c + 1) * seg + jax.lax.broadcasted_iota(
+            jnp.int32, (1, center), 1)
+        next_sb = jnp.where(nxt_abs < n, xn_ref[:, :center], jnp.float32(0.0))
+
+    merge_sides = bool(left) and bool(center) and left + center <= LANE
+    if merge_sides:
+        a_side_hi = jnp.concatenate([a_prev_ref[:], a_next_ref[:]], axis=0)
+        a_side_lo = (jnp.concatenate([apl_ref[:], anl_ref[:]], axis=0)
+                     if bf16x3 else None)
+
+    def chunk(i, _):
+        # pl.multiple_of: Mosaic must statically prove lane-tile
+        # alignment of dynamic offsets (it cannot see through the
+        # multiply or the clamps), else it rejects the vector loads.
+        base = pl.multiple_of(i * cw, LANE)
+        mid = xm_ref[:, pl.ds(base, cw)]
+        col_abs = c * seg + base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, cw), 1)
+        mid = jnp.where(col_abs < n, mid, jnp.float32(0.0))
+        lt = rt = None
+        if left:
+            # Chunk 0 takes the previous superblock's tail; interior
+            # chunks read their left-neighbour tile (lane-aligned load;
+            # garbage past n only feeds discarded outputs).
+            lt_off = pl.multiple_of(jnp.maximum(base - LANE, 0), LANE)
+            lt_raw = xm_ref[:, pl.ds(lt_off, LANE)]
+            lt = jnp.where(i == 0, prev_sb, lt_raw[:, LANE - left:])
+        if center:
+            rt_off = pl.multiple_of(jnp.minimum(base + cw, seg - LANE),
+                                    LANE)
+            rt_raw = xm_ref[:, pl.ds(rt_off, LANE)][:, :center]
+            rt_abs = c * seg + base + cw + jax.lax.broadcasted_iota(
+                jnp.int32, (1, center), 1)
+            rt = jnp.where(i == n_chunks - 1, next_sb,
+                           jnp.where(rt_abs < n, rt_raw, jnp.float32(0.0)))
+
+        if bf16x3:
+            mh, ml = _split_bf16(mid)
+            lh, ll = _split_bf16(lt) if left else (None, None)
+            rh, rl = _split_bf16(rt) if center else (None, None)
+
+            def contrib(hs, ls, hi, lo):
+                return dot(hs, hi) + dot(ls, hi) + dot(hs, lo)
+
+            accs = []
+            for tl in range(unroll):
+                s = slice(tl * LANE, (tl + 1) * LANE)
+                acc = contrib(mh[:, s], ml[:, s], a_cur_ref[:], acl_ref[:])
+                p_hi = p_lo = n_hi = n_lo = None
+                if left:
+                    p_hi = (lh if tl == 0 else
+                            mh[:, tl * LANE - left: tl * LANE])
+                    p_lo = (ll if tl == 0 else
+                            ml[:, tl * LANE - left: tl * LANE])
+                if center:
+                    n_hi = (rh if tl == unroll - 1 else
+                            mh[:, (tl + 1) * LANE: (tl + 1) * LANE + center])
+                    n_lo = (rl if tl == unroll - 1 else
+                            ml[:, (tl + 1) * LANE: (tl + 1) * LANE + center])
+                if merge_sides:
+                    s_hi = jnp.concatenate([p_hi, n_hi], axis=1)
+                    s_lo = jnp.concatenate([p_lo, n_lo], axis=1)
+                    acc = acc + contrib(s_hi, s_lo, a_side_hi, a_side_lo)
+                else:
+                    if left:
+                        acc = acc + contrib(p_hi, p_lo, a_prev_ref[:],
+                                            apl_ref[:])
+                    if center:
+                        acc = acc + contrib(n_hi, n_lo, a_next_ref[:],
+                                            anl_ref[:])
+                accs.append(acc)
+            o_ref[:, pl.ds(base, cw)] = jnp.concatenate(accs, axis=1)
+            return 0
+
+        accs = []
+        for tl in range(unroll):
+            acc = dot(mid[:, tl * LANE: (tl + 1) * LANE], a_cur_ref[:])
+            prev = nxt = None
+            if left:
+                prev = (lt if tl == 0 else
+                        mid[:, tl * LANE - left: tl * LANE])
+            if center:
+                nxt = (rt if tl == unroll - 1 else
+                       mid[:, (tl + 1) * LANE: (tl + 1) * LANE + center])
+            if merge_sides:
+                acc = acc + dot(jnp.concatenate([prev, nxt], axis=1),
+                                a_side_hi)
+            else:
+                if left:
+                    acc = acc + dot(prev, a_prev_ref[:])
+                if center:
+                    acc = acc + dot(nxt, a_next_ref[:])
+            accs.append(acc)
+        o_ref[:, pl.ds(base, cw)] = jnp.concatenate(accs, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("left", "center", "block_rows", "bf16x3", "interpret"),
+    static_argnames=("left", "center", "block_rows", "bf16x3", "interpret",
+                     "seg_tiles", "unroll"),
 )
-def _fir_f32_wide(x, planes, left, center, block_rows, bf16x3, interpret):
+def _fir_f32_wide(x, planes, left, center, block_rows, bf16x3, interpret,
+                  seg_tiles=WIDE_SEG_TILES, unroll=WIDE_UNROLL_TILES):
     """Grid-native wide-row launch: (row blocks × column superblocks)."""
     batch, n = x.shape
-    seg = WIDE_SEG_TILES * LANE
+    seg = seg_tiles * LANE
     grid_rows = -(-batch // block_rows)
     grid_cols = -(-n // seg)
     n_tiles = -(-n // LANE)
@@ -327,21 +489,30 @@ def _fir_f32_wide(x, planes, left, center, block_rows, bf16x3, interpret):
                              memory_space=pltpu.VMEM)
     prev_spec = pl.BlockSpec(
         (block_rows, LANE),
-        lambda r, c: (r, jnp.maximum(c * WIDE_SEG_TILES - 1, 0)),
+        lambda r, c: (r, jnp.maximum(c * seg_tiles - 1, 0)),
         memory_space=pltpu.VMEM)
     next_spec = pl.BlockSpec(
         (block_rows, LANE),
-        lambda r, c: (r, jnp.minimum((c + 1) * WIDE_SEG_TILES,
+        lambda r, c: (r, jnp.minimum((c + 1) * seg_tiles,
                                      n_tiles - 1)),
         memory_space=pltpu.VMEM)
     plane_spec = lambda a: pl.BlockSpec(  # noqa: E731
         a.shape, lambda r, c: (0, 0), memory_space=pltpu.VMEM)
     in_specs = [plane_spec(a) for a in planes] + [
         main_spec, prev_spec, next_spec]
-    return pl.pallas_call(
-        functools.partial(
+    if unroll < seg_tiles:
+        if seg_tiles % unroll:
+            raise ValueError(
+                f"unroll={unroll} must divide seg_tiles={seg_tiles}")
+        body = functools.partial(
+            _fir_f32_wide_chunk_kernel, left=left, center=center,
+            bf16x3=bf16x3, n=n, seg=seg, unroll=unroll)
+    else:
+        body = functools.partial(
             _fir_f32_wide_kernel, left=left, center=center, bf16x3=bf16x3,
-            n=n, seg=seg, grid_cols=grid_cols),
+            n=n, seg=seg, grid_cols=grid_cols)
+    return pl.pallas_call(
+        body,
         grid=(grid_rows, grid_cols),
         in_specs=in_specs,
         out_specs=main_spec,
@@ -392,6 +563,8 @@ def fir1d_ideal_rows_mxu(
     precision: str = "bf16x3",
     block_rows: int | None = None,
     interpret: bool | None = None,
+    seg_tiles: int | None = None,
+    unroll: int | None = None,
 ) -> jax.Array:
     """Float32 same-mode FIR over (B, N) rows on the MXU.
 
@@ -422,7 +595,15 @@ def fir1d_ideal_rows_mxu(
         a_prev, a_cur, a_next = build_tile_band_planes_f32(h)
         center = num_taps // 2
         left = num_taps - 1 - center
-        seg = WIDE_SEG_TILES * LANE
+        if unroll is None:
+            unroll = WIDE_UNROLL_TILES
+        if seg_tiles is None:
+            # Shrink the superblock to the row when rows are short; the
+            # chunked loop masks nothing extra because seg_tiles is
+            # rounded to whole chunks.
+            seg_tiles = min(WIDE_SEG_TILES,
+                            _round_up(lanes, unroll))
+        seg = seg_tiles * LANE
         if block_rows is None:
             by_vmem = max(1, WIDE_BLOCK_BYTES // (4 * seg))
             block_rows = int(min(_round_up(max(batch, 1), 8),
@@ -442,6 +623,7 @@ def fir1d_ideal_rows_mxu(
             x_f32, planes, left, center, block_rows, bf16x3,
             (jax.default_backend() != "tpu") if interpret is None
             else interpret,
+            seg_tiles=seg_tiles, unroll=min(unroll, seg_tiles),
         )
 
     a_prev, a_cur, a_next = build_tile_band_planes_f32(h)

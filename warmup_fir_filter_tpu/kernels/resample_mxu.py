@@ -155,9 +155,11 @@ def _resample_f32_wide_kernel(
     grouped band (``build_resample_band(group=span // 128)``) and
     ``first_read``/``k_rows`` pre-adjusted by the caller so every
     ``s`` lands on a lane-tile boundary, the operand slices below are
-    lane-ALIGNED — no per-dot realignment relayout (measured on the
-    chain's 2/3·63-tap stage: the aligned grouped band is what closes
-    the stage's gap to the channelizer's byte rate).
+    lane-ALIGNED.  Mechanism only — the grouped band was measured
+    monotonically WORSE on the chain's 2/3·63-tap stage (dot cost
+    scales with streamed band rows K, not per-dot overhead; ablation
+    note in ``resample_poly_mxu`` and docs/roofline.md), so auto
+    dispatch always picks span=128; the knob remains for future shapes.
     """
     c = pl.program_id(1)
     seg_in = xm_ref.shape[1]
@@ -191,10 +193,91 @@ def _resample_f32_wide_kernel(
             )
 
 
+def _resample_f32_wide_chunk_kernel(
+    a_hi_ref,   # (K, 128) band (bf16 hi or f32)
+    a_lo_ref,   # (K, 128) bf16 lo residual (dummy when not bf16x3)
+    xm_ref,     # (BR, seg_in) f32 input superblock
+    xp_ref,     # (BR, 128) previous superblock's tail tile
+    xn_ref,     # (BR, 128) next superblock's head tile
+    o_ref,      # (BR, seg_out) f32 outputs
+    *,
+    ds: int,
+    k_rows: int,
+    first_read: int,
+    n: int,
+    bf16x3: bool,
+    unroll: int,
+):
+    """Capped-unroll resample program: fori_loop over output-tile chunks.
+
+    The chunked variant of ``_resample_f32_wide_kernel`` (same
+    contract): ``unroll`` output lane tiles per chunk, with ``up |
+    unroll`` so the chunk's input stride ``unroll·ds`` is lane-tile
+    aligned — every dynamic load/store offset carries a
+    ``pl.multiple_of`` proof, and the rate-changing (misaligned) window
+    slicing stays static inside the chunk.  Built to lift the
+    superblock (= DMA block) size past the fully-unrolled kernel's
+    compile-time limit; the r4 ablation measured big blocks SLOWER
+    (docs/roofline.md "capped-unroll ablation"), so auto dispatch keeps
+    the r3 geometry (one chunk per superblock → the unrolled kernel)
+    and this body runs only under an explicit ``unroll=`` knob.
+    """
+    c = pl.program_id(1)
+    seg_in = xm_ref.shape[1]
+    out_tiles = o_ref.shape[1] // LANE
+    n_chunks = out_tiles // unroll
+    cw_out = unroll * LANE
+    cw_in = unroll * ds
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if not bf16x3:
+        dot = functools.partial(dot, precision=jax.lax.Precision.HIGHEST)
+
+    prev_sb = jnp.where(c == 0, jnp.float32(0.0), xp_ref[:])
+    nxt_abs = (c + 1) * seg_in + jax.lax.broadcasted_iota(
+        jnp.int32, (1, LANE), 1)
+    next_sb = jnp.where(nxt_abs < n, xn_ref[:], jnp.float32(0.0))
+
+    def chunk(i, _):
+        ib = pl.multiple_of(i * cw_in, LANE)
+        mid = xm_ref[:, pl.ds(ib, cw_in)]
+        col_abs = c * seg_in + ib + jax.lax.broadcasted_iota(
+            jnp.int32, (1, cw_in), 1)
+        mid = jnp.where(col_abs < n, mid, jnp.float32(0.0))
+        lt_off = pl.multiple_of(jnp.maximum(ib - LANE, 0), LANE)
+        lt = jnp.where(i == 0, prev_sb, xm_ref[:, pl.ds(lt_off, LANE)])
+        rt_off = pl.multiple_of(jnp.minimum(ib + cw_in, seg_in - LANE),
+                                LANE)
+        rt_raw = xm_ref[:, pl.ds(rt_off, LANE)]
+        rt_abs = c * seg_in + ib + cw_in + jax.lax.broadcasted_iota(
+            jnp.int32, (1, LANE), 1)
+        rt = jnp.where(i == n_chunks - 1, next_sb,
+                       jnp.where(rt_abs < n, rt_raw, jnp.float32(0.0)))
+        x_full = jnp.concatenate([lt, mid, rt], axis=1)
+
+        accs = []
+        if bf16x3:
+            xh, xl = _split_bf16(x_full)
+            for p in range(unroll):
+                s = LANE + first_read + p * ds
+                hs, ls = xh[:, s : s + k_rows], xl[:, s : s + k_rows]
+                accs.append(dot(hs, a_hi_ref[:]) + dot(ls, a_hi_ref[:])
+                            + dot(hs, a_lo_ref[:]))
+        else:
+            for p in range(unroll):
+                s = LANE + first_read + p * ds
+                accs.append(dot(x_full[:, s : s + k_rows], a_hi_ref[:]))
+        o_ref[:, pl.ds(pl.multiple_of(i * cw_out, LANE), cw_out)] = (
+            jnp.concatenate(accs, axis=1))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ds", "k_rows", "first_read", "seg_in", "seg_out",
-                     "out_len", "block_rows", "bf16x3", "interpret", "span"),
+                     "out_len", "block_rows", "bf16x3", "interpret", "span",
+                     "unroll"),
 )
 def _resample_f32_wide(
     x,  # (B, n) f32 — the original rows, no staging
@@ -210,6 +293,7 @@ def _resample_f32_wide(
     bf16x3: bool,
     interpret: bool,
     span: int = LANE,
+    unroll: int | None = None,
 ):
     batch, n = x.shape
     grid_rows = -(-batch // block_rows)
@@ -230,11 +314,24 @@ def _resample_f32_wide(
                             memory_space=pltpu.VMEM)
     band_spec = lambda a: pl.BlockSpec(  # noqa: E731
         a.shape, lambda r, c: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(
+    if unroll is not None and unroll * LANE < seg_out:
+        if span != LANE:
+            raise ValueError("chunked resample kernel requires span=128")
+        if (seg_out // LANE) % unroll or (unroll * ds) % LANE:
+            raise ValueError(
+                f"unroll={unroll} incompatible with seg_out={seg_out}, "
+                f"ds={ds} (needs unroll | out tiles and 128 | unroll·ds)")
+        body = functools.partial(
+            _resample_f32_wide_chunk_kernel, ds=ds, k_rows=k_rows,
+            first_read=first_read, n=n, bf16x3=bf16x3, unroll=unroll,
+        )
+    else:
+        body = functools.partial(
             _resample_f32_wide_kernel, ds=ds, k_rows=k_rows,
             first_read=first_read, n=n, bf16x3=bf16x3, span=span,
-        ),
+        )
+    return pl.pallas_call(
+        body,
         grid=(grid_rows, grid_cols),
         in_specs=[band_spec(a_hi), band_spec(a_lo), main_spec, prev_spec,
                   next_spec],
@@ -298,6 +395,7 @@ def resample_poly_mxu(
     interpret: bool | None = None,
     max_out_tiles: int = MAX_OUT_TILES,
     group: int | None = None,
+    unroll: int | None = None,
 ) -> jax.Array:
     """Float32 polyphase resampler on the MXU over (C, T) rows.
 
@@ -319,6 +417,8 @@ def resample_poly_mxu(
     """
     if precision not in ("bf16x3", "highest"):
         raise ValueError(f"unknown precision {precision!r}")
+    if group is not None and group < 1:
+        raise ValueError(f"group must be >= 1, got {group}")
     h64 = np.asarray(h, np.float64)
     x_f32 = jnp.asarray(x, jnp.float32)
     batch, n = x_f32.shape
@@ -335,9 +435,29 @@ def resample_poly_mxu(
     # left (first_read ≥ −128) and one on the right
     # (first_read + K − ds ≤ 128) — true for every J ≲ 100-tap branch;
     # longer branches fall back to the windowed path below.
-    tiles_per_seg = up * max(1, 64 // up)
+    #
+    # r4 block geometry: superblocks sized to ~WIDE_SEG_TILES input
+    # lane tiles (16 MB DMA blocks at 32 rows — the 556 GB/s block
+    # size, docs/roofline.md "f32 streaming wall"), processed by the
+    # capped-unroll chunk kernel with ``up | unroll`` so chunk strides
+    # stay lane-tile aligned.
+    from warmup_fir_filter_tpu.kernels.fir_float_mxu import (
+        WIDE_SEG_TILES,
+        WIDE_UNROLL_TILES,
+    )
+
+    if unroll is not None and (unroll < 1 or unroll % up):
+        raise ValueError(f"unroll must be a positive multiple of up={up}, "
+                         f"got {unroll}")
+    unroll_out = (up * max(1, WIDE_UNROLL_TILES // up) if unroll is None
+                  else unroll)
+    chunk_in_tiles = unroll_out * down // up
+    out_tiles_needed = -(-out_len // (unroll_out * LANE))
+    n_chunks = max(1, min(WIDE_SEG_TILES // max(chunk_in_tiles, 1),
+                          out_tiles_needed))
+    tiles_per_seg = unroll_out * n_chunks
     seg_out_w = tiles_per_seg * LANE
-    seg_in_w = seg_out_w * down // up
+    seg_in_w = tiles_per_seg * ds
     first_read = beta0 - (j_count - 1)
     if (first_read >= -LANE and first_read + k_rows - ds <= LANE
             and seg_in_w == tiles_per_seg * ds):
@@ -353,14 +473,15 @@ def resample_poly_mxu(
         # bottleneck (the f32 wide kernels sit at the measured f32
         # streaming rate, see docs/roofline.md).  Kept as an explicit
         # knob for future shapes; auto always picks 1.
-        if group is None:
-            candidates = [1]
+        g = 1 if group is None else group
+        if g == 1:
+            a_g, k_g, ds_g, fr_g = a, k_rows, ds, first_read
         else:
-            candidates = [group]
-        for g in candidates:
-            if g == 1:
-                a_g, k_g, ds_g, fr_g = a, k_rows, ds, first_read
-                break
+            # Grouped knob runs on the fully-unrolled kernel — keep its
+            # r3 superblock size (compile time scales with seg tiles).
+            tiles_per_seg = up * max(1, 64 // up)
+            seg_out_w = tiles_per_seg * LANE
+            seg_in_w = tiles_per_seg * ds
             a_g, k_g, ds_g, beta0_g, j_g = build_resample_band(
                 h64, up, down, g)
             fr_g = beta0_g - (j_g - 1)
@@ -371,10 +492,15 @@ def resample_poly_mxu(
             fits = (fr_g >= -LANE and fr_g + k_g - ds_g <= LANE
                     and seg_in_w % ds_g == 0
                     and k_g * g * LANE * 4 <= 16 * 1024 * 1024)
-            if fits:
-                break
-        else:  # explicit group that doesn't fit → legacy ungrouped
-            a_g, k_g, ds_g, fr_g, g = a, k_rows, ds, first_read, 1
+            if not fits:
+                # An explicit group that cannot be realized is an error,
+                # not a silent fallback — the knob exists only for
+                # measurement, and a vacuous pass would invalidate it.
+                raise ValueError(
+                    f"group={g} does not fit this band geometry "
+                    f"(first_read={fr_g}, k_rows={k_g}, ds={ds_g}, "
+                    f"seg_in={seg_in_w}); use group=None for auto."
+                )
         if bf16x3:
             a_hi, a_lo = _split_bf16(jnp.asarray(a_g))
         else:
@@ -388,6 +514,7 @@ def resample_poly_mxu(
             x_f32, a_hi, a_lo, ds_g, k_g, fr_g, seg_in_w,
             seg_out_w, out_len, block_rows, bf16x3, interp,
             span=g * LANE,
+            unroll=unroll_out if g == 1 else None,
         )
 
     out_tiles_total = -(-out_len // LANE)

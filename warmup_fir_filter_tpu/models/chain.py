@@ -33,9 +33,13 @@ class ChainConfig:
     channelizer_cutoff: float = 0.25
     demod_k_f: float = 0.05
     use_fft_channelizer: bool = True
-    #: "auto" → direct f32 MXU band kernel (the fastest path at ≤257
-    #: taps, ~30× the FFT kernel — docs/architecture.md); "mxu" /
-    #: "pallas" (fused matmul-FFT) / "jnp" (jnp.fft) force a backend.
+    #: "auto" → on TPU, the r4 single-pass fused chain kernel
+    #: (``kernels/chain_fused.py``: resample+channelize+demod in one
+    #: Pallas pass, ~4.7× less HBM traffic than the staged pipeline)
+    #: when the config supports it, else the staged MXU path; "fused"
+    #: forces the fused kernel; "mxu" (staged f32 MXU band kernel) /
+    #: "pallas" (fused matmul-FFT) / "jnp" (jnp.fft) force a staged
+    #: channelizer backend.
     channelizer_backend: str = "auto"
 
     def resample_filter(self) -> np.ndarray:
@@ -51,6 +55,28 @@ def chain_forward(re, im, config: ChainConfig = ChainConfig()) -> jax.Array:
     """Run the full chain on (C, T) I/Q rows → (C, T') message rows."""
     h_rs = config.resample_filter()
     h_ch = config.channelizer_filter()
+
+    # r4 fast path: the whole chain in one Pallas pass (auto on TPU).
+    backend = config.channelizer_backend
+    if backend in ("auto", "fused") and config.use_fft_channelizer:
+        from warmup_fir_filter_tpu.kernels.chain_fused import (
+            chain_forward_fused,
+            chain_fused_supported,
+        )
+
+        channels = jnp.asarray(re).shape[0]
+        supported = chain_fused_supported(
+            int(channels), config.resample_up, config.resample_down,
+            config.resample_taps, config.channelizer_taps)
+        if backend == "fused" and not supported:
+            raise ValueError(
+                "channelizer_backend='fused' but the fused chain kernel "
+                "does not support this config (see chain_fused_supported)")
+        if supported and (backend == "fused"
+                          or jax.default_backend() == "tpu"):
+            return chain_forward_fused(
+                re, im, h_rs, h_ch, config.resample_up,
+                config.resample_down, config.demod_k_f)
 
     # One resampler pass over both I/Q planes stacked as extra rows —
     # row-poor (C, T) inputs underuse the VPU sublanes, and one call
