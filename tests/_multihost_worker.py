@@ -131,10 +131,53 @@ def main() -> int:
               f"{got_sum} != {want_sum}", flush=True)
         return 1
 
+    # --- flagship chain, data-parallel across BOTH processes (r4) ---
+    # shard_map row-parallelism: every process computes its local
+    # channel rows; outputs must match the single-device chain exactly.
+    from warmup_fir_filter_tpu.models.chain import (
+        ChainConfig,
+        chain_forward,
+        chain_forward_sharded,
+    )
+
+    chain_cfg = ChainConfig(channelizer_backend="jnp")
+    ch_c, ch_t = n_dev * 2, 4096
+    ch_re = rng.standard_normal((ch_c, ch_t)).astype(np.float32)
+    ch_im = rng.standard_normal((ch_c, ch_t)).astype(np.float32)
+    chain_mesh = make_mesh({"data": n_dev})
+    out_chain = chain_forward_sharded(ch_re, ch_im, chain_cfg,
+                                      mesh=chain_mesh)
+    expected_chain = np.asarray(chain_forward(ch_re, ch_im, chain_cfg))
+    for shard in out_chain.addressable_shards:
+        if not np.allclose(np.asarray(shard.data),
+                           expected_chain[shard.index],
+                           rtol=1e-5, atol=1e-5):
+            print(f"[FAIL] process {proc_id} chain shard {shard.index}: "
+                  "mismatch vs single-device", flush=True)
+            return 1
+
+    # --- 2-D corner-carrying halo FIR across the process boundary (r4) ---
+    from warmup_fir_filter_tpu.ops.fir2d import (
+        FILTER_BANK_2D,
+        fir2d_fixed_golden,
+    )
+    from warmup_fir_filter_tpu.parallel.halo import fir2d_fixed_sharded
+
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    h2 = np.asarray(FILTER_BANK_2D["gauss5"])
+    golden_2d = fir2d_fixed_golden(img, h2)
+    mesh_2d = make_mesh({"data": 2, "time": num_procs})
+    out_2d = fir2d_fixed_sharded(img, h2, mesh=mesh_2d)
+    for shard in out_2d.addressable_shards:
+        if not np.array_equal(np.asarray(shard.data), golden_2d[shard.index]):
+            print(f"[FAIL] process {proc_id} 2-D halo shard {shard.index}: "
+                  "mismatch vs golden", flush=True)
+            return 1
+
     print(f"[OK] multihost worker process={proc_id} shards={checked} "
           "bit-exact (incl. cross-process halo ring); all_to_all "
-          "roundtrip + psum metric reduction crossed the process "
-          "boundary", flush=True)
+          "roundtrip + psum metric reduction + data-parallel chain + "
+          "2-D corner halo crossed the process boundary", flush=True)
     return 0
 
 

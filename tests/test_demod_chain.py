@@ -78,6 +78,25 @@ class TestChain:
         sharded = np.asarray(chain_forward_sharded(re, im, config, mesh=mesh))
         np.testing.assert_allclose(sharded, single, atol=1e-5)
 
+    def test_sharded_fused_backend_matches_single_device(
+            self, rng, require_devices):
+        """r4: the fused chain kernel under shard_map — each device runs
+        the single-pass kernel on its local rows (8 channels/device
+        here) and must equal the forced-fused single-device run."""
+        import dataclasses
+
+        mesh = make_mesh({"data": 2}, devices=require_devices(2))
+        config = dataclasses.replace(ChainConfig(),
+                                     channelizer_backend="fused")
+        message = rng.uniform(-1, 1, size=(16, 2000))
+        re, im = fm_modulate(message, config.demod_k_f)
+        single = np.asarray(chain_forward(
+            jax.numpy.asarray(re, jax.numpy.float32),
+            jax.numpy.asarray(im, jax.numpy.float32), config))
+        sharded = np.asarray(chain_forward_sharded(re, im, config,
+                                                   mesh=mesh))
+        np.testing.assert_array_equal(sharded, single)
+
     def test_indivisible_channels_rejected(self, rng, require_devices):
         mesh = make_mesh({"data": 4}, devices=require_devices(4))
         with pytest.raises(ValueError, match="divisible"):

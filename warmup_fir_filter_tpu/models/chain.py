@@ -148,8 +148,22 @@ def chain_forward_sharded(
     re_s = jax.device_put(jnp.asarray(re, jnp.float32), sharding)
     im_s = jax.device_put(jnp.asarray(im, jnp.float32), sharding)
 
-    @partial(jax.jit, out_shardings=sharding)
+    # shard_map, not sharded-jit: each device runs the full chain on its
+    # local channel rows (row-parallel is exact).  Under a plain
+    # sharded jit the SPMD partitioner's handling of the fused-chain
+    # Pallas call was observed to perturb results at shard seams (r4);
+    # with shard_map the kernel sees only local rows and the fused
+    # fast path engages per-device exactly when the LOCAL channel count
+    # supports it.
+    spec = P(channel_axis, None)
+
+    # check_vma=False: the Pallas calls inside declare out_shapes with
+    # no varying-mesh-axes annotation; the chain is purely row-local so
+    # there is nothing cross-device to check.
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+        check_vma=False)
     def _run(re_in, im_in):
         return chain_forward(re_in, im_in, config)
 
-    return _run(re_s, im_s)
+    return jax.jit(_run)(re_s, im_s)
