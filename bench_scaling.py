@@ -226,8 +226,13 @@ def main() -> int:
         run_data = lambda: fir1d_fixed_sharded(x, h, mesh=mesh_data)  # noqa: E731
         _sync(run_time())
         _sync(run_data())
-        t_halo = _best_time(run_time, args.repeats)
-        t_plain = _best_time(run_data, args.repeats)
+        # Interleave the two modes so shared-host load noise hits both
+        # measurements alike (r4: back-to-back sweeps showed ±8% drift
+        # that dominated the ratio).
+        t_halo = t_plain = float("inf")
+        for _ in range(args.repeats):
+            t_halo = min(t_halo, _best_time(run_time, 1))
+            t_plain = min(t_plain, _best_time(run_data, 1))
         overhead = max(0.0, t_halo / t_plain - 1.0)
         efficiency = 1.0 / (1.0 + overhead)
         payload = {

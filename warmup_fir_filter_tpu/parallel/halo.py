@@ -102,6 +102,9 @@ def fir1d_fixed_sharded(
                 f"{axis!r}={mesh.shape[axis]}."
             )
 
+    core = partial(fixed_fir_prehaloed_i32, num_taps=num_taps,
+                   frac_bits=qformat.frac_bits, acc_bits=qformat.acc_bits)
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -109,12 +112,43 @@ def fir1d_fixed_sharded(
         out_specs=P(channel_axis, time_axis),
     )
     def _step(x_loc, h_i32):
-        x_ext = exchange_halo_1d(
-            x_loc, axis_name=time_axis, left_width=left_w, right_width=right_w
-        )
-        return fixed_fir_prehaloed_i32(
-            x_ext, h_i32, num_taps, qformat.frac_bits, qformat.acc_bits
-        )
+        # Comm/compute overlap (r4): issue the halo ppermutes FIRST,
+        # compute the interior — the N−(L−1) outputs that need no
+        # neighbor data — while they fly, then finish the two boundary
+        # strips from the received halos.  Same core op on sub-windows
+        # ⇒ bit-identical to the exchange-then-compute form; XLA's
+        # latency-hiding scheduler can start the interior between
+        # collective-permute-start and -done.
+        if x_loc.shape[-1] < num_taps:
+            # Shard too narrow for an interior: plain exchange+compute.
+            x_ext = exchange_halo_1d(
+                x_loc, axis_name=time_axis, left_width=left_w,
+                right_width=right_w)
+            return core(x_ext, h_i32)
+        num = jax.lax.axis_size(time_axis)
+        left = right = None
+        if left_w:
+            left = jax.lax.ppermute(
+                x_loc[..., -left_w:], time_axis,
+                [(i, i + 1) for i in range(num - 1)])
+        if right_w:
+            right = jax.lax.ppermute(
+                x_loc[..., :right_w], time_axis,
+                [(i, i - 1) for i in range(1, num)])
+        interior = core(x_loc, h_i32)
+        parts = []
+        if left_w:
+            left_ext = jnp.concatenate(
+                [left, x_loc[..., : left_w + right_w]], axis=-1)
+            parts.append(core(left_ext, h_i32))
+        parts.append(interior)
+        if right_w:
+            right_ext = jnp.concatenate(
+                [x_loc[..., x_loc.shape[-1] - (left_w + right_w):], right],
+                axis=-1)
+            parts.append(core(right_ext, h_i32))
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 \
+            else interior
 
     x_sharded = jax.device_put(
         x, NamedSharding(mesh, P(channel_axis, time_axis))
@@ -204,6 +238,10 @@ def fir2d_fixed_sharded(
                 f"{axis!r}={mesh.shape[axis]}."
             )
 
+    core2d = partial(fixed_fir2d_prehaloed_i32, taps_r=taps_r,
+                     taps_c=taps_c, frac_bits=qformat.frac_bits,
+                     acc_bits=qformat.acc_bits)
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -211,15 +249,38 @@ def fir2d_fixed_sharded(
         out_specs=P(row_axis, col_axis),
     )
     def _step(x_loc, h_i32):
+        h_loc, w_loc = x_loc.shape
+        if h_loc < taps_r or w_loc < taps_c:
+            # Shard too small for an interior: plain exchange+compute.
+            x_ext = exchange_halo_2d(
+                x_loc, row_axis=row_axis, col_axis=col_axis,
+                top_width=top_w, bottom_width=bottom_w,
+                left_width=left_w, right_width=right_w,
+            )
+            return core2d(x_ext, h_i32)
+        # Comm/compute overlap (r4, 1-D split generalized): start the
+        # two-phase halo exchange, compute the fully-interior region —
+        # outputs untouched by any halo — while it flies, then finish
+        # the four boundary strips from slices of the extended block.
+        # Same core on sub-windows ⇒ bit-identical assembly.
         x_ext = exchange_halo_2d(
             x_loc, row_axis=row_axis, col_axis=col_axis,
             top_width=top_w, bottom_width=bottom_w,
             left_width=left_w, right_width=right_w,
         )
-        return fixed_fir2d_prehaloed_i32(
-            x_ext, h_i32, taps_r, taps_c, qformat.frac_bits,
-            qformat.acc_bits,
-        )
+        interior = core2d(x_loc, h_i32)  # (H−(Lr−1), W−(Lc−1)) outputs
+        dr, dc = taps_r - 1, taps_c - 1
+        # Top/bottom strips span all W output columns; left/right strips
+        # cover the interior rows only.
+        top_strip = core2d(x_ext[: top_w + dr, :], h_i32)
+        bottom_strip = core2d(x_ext[top_w + h_loc - dr:, :], h_i32)
+        left_strip = core2d(
+            x_ext[top_w : top_w + h_loc, : left_w + dc], h_i32)
+        right_strip = core2d(
+            x_ext[top_w : top_w + h_loc, left_w + w_loc - dc:], h_i32)
+        middle = jnp.concatenate([left_strip, interior, right_strip],
+                                 axis=-1)
+        return jnp.concatenate([top_strip, middle, bottom_strip], axis=0)
 
     x_sharded = jax.device_put(
         x, NamedSharding(mesh, P(row_axis, col_axis))
