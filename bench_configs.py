@@ -23,6 +23,13 @@ if _REPO_ROOT not in sys.path:
 
 import numpy as np
 
+#: Measured f32 two-buffer streaming rate of the Pallas block pipeline
+#: on THIS chip (TPU v5e via axon; ≤8 MB blocks, chained no-perturb
+#: timing — docs/roofline.md "f32 streaming wall" + r4 capped-unroll
+#: ablation).  Chip-specific: ``chain_f32_wall_fraction`` is only
+#: emitted when the benchmark actually ran on a TPU backend.
+F32_WALL_GBPS_V5E = 358.0
+
 
 def config1_bit_compare(results: dict) -> None:
     """3-tap fixed FIR over 1k-sample vectors, bit-compare vs golden."""
@@ -285,33 +292,42 @@ def _chain_throughput(cfg, scale) -> dict:
         "demod": {"seconds": t_dm, "msps": n_rs / t_dm / 1e6},
     }
     bottleneck = max(stages, key=lambda s: stages[s]["seconds"])
-    # Roofline context: f32 bytes each stage must move (in + out planes),
-    # vs the 819 GB/s HBM wall — the chain is memory-bound end to end.
-    bytes_moved = (
+    # The r4 default chain is the FUSED single-pass kernel
+    # (kernels/chain_fused.py): intermediates never touch HBM, so its
+    # traffic is input planes + message rows only.  The staged per-stage
+    # attribution above remains the decomposition of the fallback path
+    # (and of what fusion deleted: staged_bytes / fused_bytes ≈ 4.7×).
+    fused_bytes = (2 * n_in + n_rs) * 4
+    staged_bytes = (
         (2 * n_in + 2 * n_rs) * 4          # resample: 2 planes in/out
         + (2 * n_rs + 2 * n_rs) * 4        # channelizer: 2 planes in/out
         + (2 * n_rs + n_rs) * 4            # demod: 2 planes in, 1 out
     )
-    sol_s = bytes_moved / 819e9
-    # Measured wall for an f32 two-buffer streaming pass at the wide
-    # kernels' block geometry (≤8 MB blocks): ~355 GB/s on this chip —
-    # a bare zero-compute Pallas f32 copy, docs/roofline.md "f32
-    # streaming wall".  The datasheet fraction above undercounts what
-    # the stages can actually reach.
-    wall_s = bytes_moved / 355e9
-    return {
+    sol_s = fused_bytes / 819e9
+    out = {
         "chain_msps": round(n_in / t_chain / 1e6, 1),
         "chain_backend": jax.default_backend(),
+        "chain_kernel": "fused" if on_tpu else "staged",
         "chain_shape": [channels, time_len],
         "stages_msps": {k: round(v["msps"], 1) for k, v in stages.items()},
         "stages_seconds": {
             k: round(v["seconds"], 5) for k, v in stages.items()},
         "bottleneck_stage": bottleneck,
         "chain_sol_fraction": round(sol_s / t_chain, 3),
-        "chain_f32_wall_fraction": round(wall_s / t_chain, 3),
+        "staged_over_fused_bytes": round(staged_bytes / fused_bytes, 2),
         "stage_sum_seconds": round(t_rs + t_ch + t_dm, 5),
         "chain_seconds": round(t_chain, 5),
     }
+    if on_tpu:
+        # Measured wall for an f32 two-buffer streaming pass through the
+        # Pallas block pipeline on THIS chip (v5e, ≤8 MB blocks,
+        # chained no-perturb timing): ~358 GB/s — docs/roofline.md "f32
+        # streaming wall" + r4 capped-unroll ablation.  Chip-specific;
+        # omitted on other backends (the datasheet-based fraction above
+        # is portable).
+        wall_s = fused_bytes / (F32_WALL_GBPS_V5E * 1e9)
+        out["chain_f32_wall_fraction"] = round(wall_s / t_chain, 3)
+    return out
 
 
 def main() -> int:

@@ -85,3 +85,68 @@ def test_wrong_channel_count_rejected(rng):
     stream = Fir1DStream([0.5], channels=2)
     with pytest.raises(ValueError, match="channels"):
         stream.process(np.zeros((3, 8), np.uint8))
+
+
+class TestStreamScanned:
+    """The on-device lax.scan block loop (r4, ops/streaming.py)."""
+
+    def _gen(self, channels, width):
+        import jax
+        import jax.numpy as jnp
+
+        def block_fn(b):
+            base = b.astype(jnp.uint32) * jnp.uint32(2654435761)
+            col = jax.lax.broadcasted_iota(jnp.uint32, (channels, width), 1)
+            row = jax.lax.broadcasted_iota(jnp.uint32, (channels, width), 0)
+            v = (col * jnp.uint32(747796405)
+                 + row * jnp.uint32(2891336453) + base)
+            v = (v ^ (v >> 13)) * jnp.uint32(1274126177)
+            return ((v >> 8) & jnp.uint32(255)).astype(jnp.uint8)
+
+        return block_fn
+
+    def test_matches_blockwise_process(self):
+        import jax.numpy as jnp
+
+        from warmup_fir_filter_tpu.ops.streaming import stream_scanned
+
+        h = np.array([0.25, 1.0, -0.5, 0.125, 0.0625])
+        channels, width, blocks = 4, 96, 5
+        block_fn = self._gen(channels, width)
+
+        scanned = Fir1DStream(h, channels)
+        sums = np.asarray(stream_scanned(scanned, block_fn, blocks))
+        assert sums.shape == (blocks, 2)
+
+        manual = Fir1DStream(h, channels)
+        for b in range(blocks):
+            y = manual.process(np.asarray(block_fn(jnp.int32(b))))
+            y64 = y.astype(np.int64)
+            w = np.arange(1, width + 1, dtype=np.int64)
+            got = sums[b].astype(np.int64)
+            # default emit checksums run in i32 on TPU-default jax
+            assert got[0] % (1 << 32) == int(y64.sum()) % (1 << 32)
+            assert got[1] % (1 << 32) == int((y64 * w).sum()) % (1 << 32)
+        np.testing.assert_array_equal(manual.state.carry,
+                                      scanned.state.carry)
+        assert manual.state.samples_seen == scanned.state.samples_seen
+
+    def test_resume_from_checkpoint(self, tmp_path):
+        from warmup_fir_filter_tpu.ops.streaming import stream_scanned
+
+        h = np.array([0.5, 1.0, 0.5])
+        channels, width, blocks = 2, 64, 6
+        block_fn = self._gen(channels, width)
+
+        full = Fir1DStream(h, channels)
+        sums_full = np.asarray(stream_scanned(full, block_fn, blocks))
+
+        a = Fir1DStream(h, channels)
+        sums_a = np.asarray(stream_scanned(a, block_fn, 3))
+        a.state.save(tmp_path / "ck.npz")
+        b = Fir1DStream(h, channels)
+        b.state = FirStreamState.load(tmp_path / "ck.npz")
+        sums_b = np.asarray(stream_scanned(b, block_fn, 3, start_block=3))
+        np.testing.assert_array_equal(
+            np.concatenate([sums_a, sums_b]), sums_full)
+        np.testing.assert_array_equal(b.state.carry, full.state.carry)

@@ -1,24 +1,28 @@
 """Backend auto-dispatch for the bit-exact fixed-point FIR.
 
 Measured single-chip throughput on the 5-tap Q4.12 headline workload
-(TPU v5e, measured via ``bench.py`` — methodology and roofline context
-in ``docs/roofline.md``) and wider filters:
+(TPU v5e, recorded artifacts: ``BENCH_r*.json`` for 5-tap via
+``bench.py``; ``BENCH_TAPS_r04.json`` for the tap sweep via
+``bench_taps.py`` — methodology and roofline context in
+``docs/roofline.md``):
 
 ================  ==========  ===========  ============
 path              5-tap Gsps  63-tap Gsps  257-tap Gsps
 ================  ==========  ===========  ============
-MXU band matmul       316         252          240
+MXU band matmul     313-337       ~250         ~240
 Pallas VPU MAC         68          ~5           —
 jnp/XLA                27          ~3           —
 FFT overlap-save      ~2.4         2.4          2.4  (float, not bit-exact)
 ================  ==========  ===========  ============
 
-(The FFT figure is the r3 chained-loop harness number; it is bounded by
-its elementwise/relayout passes, not its matmuls — see the FFT section
-of ``docs/roofline.md``.)  The int8 MXU eats taps nearly for free
-(adding taps only adds band density and digit planes under a
-memory-bound op), so the direct MXU kernel beats the FFT path at 63
-taps by ~100× *and* stays bit-exact — the FFT path is the float
+(Every band-kernel figure is backed by a committed artifact; the
+63/257/1001/4096-tap rows are re-recorded each round by
+``bench_taps.py``.  The FFT figure is the chained-loop harness number;
+it is bounded by its elementwise/relayout passes, not its matmuls —
+see the FFT section of ``docs/roofline.md``.)  The int8 MXU eats taps
+nearly for free (adding taps only adds band density and digit planes
+under a memory-bound op), so the direct MXU kernel beats the FFT path
+at 63 taps by ~100× *and* stays bit-exact — the FFT path is the float
 *model* path and the only option beyond the windowed-band kernel's
 4096-tap limit.
 """
@@ -61,8 +65,9 @@ def fir1d_fixed_rows_auto(x_u8, h, qformat: QFormat = QFormat()) -> jax.Array:
 def fir2d_fixed_auto(x_u8, h, qformat: QFormat = QFormat()) -> jax.Array:
     """Bit-exact fixed 2-D FIR via the fastest available backend.
 
-    MXU padded-frame kernels (overlapped frame ~165 Gsps for 5×5 on
-    v5e, BENCH_2D_r03.json; tri-tile plain frame beyond Lc = 97, up to
+    MXU padded-frame kernels (overlapped frame: ~156-172 Gsps
+    run-to-run for 5×5 on v5e — recorded value in the round's
+    BENCH_2D_r*.json; tri-tile plain frame beyond Lc = 97, up to
     Lc ≤ 257 = ``MAX_TAPS``) when the column tap count fits a band;
     else the jnp path.  ``fir2d_fixed_mxu`` picks the frame layout.
     """

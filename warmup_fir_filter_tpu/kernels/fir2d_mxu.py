@@ -557,6 +557,7 @@ def _fir2d_oframe_kernel(
     frac_bits: int,
     acc_bits: int,
     needs_wrap: bool,
+    ablate: str = "default",
 ):
     o_ref = rest[-1]
     bias = bias_ref[0, 0]
@@ -577,6 +578,14 @@ def _fir2d_oframe_kernel(
     )
     core_row = (row_global >= t0) & (row_global < t0 + core_h)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 1)
+    # Ablation switches (r4, kept for measurement): "no_patch" /
+    # "no_mask" / "pure" produce WRONG borders/boundaries by design,
+    # isolating the cost of each non-dot stage on real hardware;
+    # "deferred_border" and "acc_patch" are CORRECT alternatives that
+    # measured perf-neutral (docs/roofline.md "2-D ablation ladder").
+    do_patch = ablate not in ("no_patch", "pure")
+    do_mask = ablate not in ("no_mask", "pure")
+    roll = lambda v, sh: jnp.roll(v, sh, axis=1)  # noqa: E731
     # Masking stays per-tile jnp.where on in-loop predicates: measured
     # 160-168 Gsps vs 140 for hoisted-u8 bitwise AND/OR gating and 72
     # for pl.when-gated stores; hoisted i1 predicates don't compile at
@@ -592,16 +601,19 @@ def _fir2d_oframe_kernel(
         if row_shift not in shifted:
             shifted[row_shift] = x_full[row_shift : row_shift + block_rows, :]
 
-    def tile_u8(c):
-        """Epilogued, UNMASKED u8 result for tile c: one aligned dot per
-        plane (lanes [left, 128-center) exact; boundary lanes partial —
-        patched from the neighbor tiles below)."""
+    def tile_acc(c):
+        """Raw int32 accumulator for tile c: one aligned dot per plane
+        (lanes [left, 128-center) exact; boundary lanes partial —
+        patched from the neighbor tiles' accumulators below)."""
         lo = c * LANE
         acc = jnp.full((block_rows, LANE), bias, jnp.int32)
         for row_shift, b, plane in plan:
             prod = jnp.dot(shifted[row_shift][:, lo : lo + LANE],
                            a_ref[plane], preferred_element_type=jnp.int32)
             acc = acc + (prod << b if b else prod)
+        return acc
+
+    def epilogue(acc):
         if needs_wrap:
             if acc_bits < 32:
                 shift = 32 - acc_bits
@@ -613,39 +625,103 @@ def _fir2d_oframe_kernel(
             final = acc >> frac_bits
         return jnp.clip(final, 0, 255).astype(jnp.uint8)
 
+    def tile_u8(c):
+        return epilogue(tile_acc(c))
+
     # One-tile lookahead: tile c's last `center` lanes come from tile
     # c+1's accumulator (and its first `left` lanes from tile c-1's),
     # so three epilogued tiles are live at a time.  The patches leave
     # `cur` unshifted — only the neighbors are lane-rolled, and both
     # patches merge through ONE select against the hoisted boundary
     # predicate.
+    if ablate == "acc_patch":
+        # Patch the int32 accumulators instead of the epilogued u8 tiles
+        # (elementwise epilogue ⇒ identical results), using the native
+        # 32-bit lane rotate; one epilogue per assembled tile.
+        zero_acc = jnp.zeros((block_rows, LANE), jnp.int32)
+        prev = zero_acc
+        cur = tile_acc(1) if w_tiles > 2 else zero_acc
+        for c in range(1, w_tiles - 1):
+            nxt = tile_acc(c + 1) if c + 1 < w_tiles - 1 else zero_acc
+            assembled = cur
+            if left:
+                assembled = jnp.where(
+                    col_idx < left,
+                    pltpu.roll(prev, (-stride) % LANE, 1), assembled)
+            if center:
+                assembled = jnp.where(
+                    col_idx >= LANE - center,
+                    pltpu.roll(nxt, stride % LANE, 1), assembled)
+            out_u8 = epilogue(assembled)
+            base = (c - 1) * stride - left
+            mask = core_row
+            if base < 0:
+                mask = mask & (col_idx >= -base)
+            if base + LANE > core_w:
+                mask = mask & (col_idx < core_w - base)
+            if do_mask:
+                out_u8 = jnp.where(mask, out_u8, 0)
+            o_ref[:, c * LANE : (c + 1) * LANE] = out_u8
+            prev, cur = cur, nxt
+        return
+
+    in_loop_mask = ablate != "deferred_border"
     prev = zero_tile
     cur = tile_u8(1) if w_tiles > 2 else zero_tile
     for c in range(1, w_tiles - 1):
         nxt = tile_u8(c + 1) if c + 1 < w_tiles - 1 else zero_tile
         assembled = cur
-        if left:
+        if do_patch and left:
             assembled = jnp.where(col_idx < left,
-                                  jnp.roll(prev, -stride, axis=1), assembled)
-        if center:
+                                  roll(prev, -stride), assembled)
+        if do_patch and center:
             assembled = jnp.where(col_idx >= LANE - center,
-                                  jnp.roll(nxt, stride, axis=1), assembled)
+                                  roll(nxt, stride), assembled)
         # Logical-column mask: lane i of tile c is image col base + i.
+        # The in-loop row mask is the r3 default and measured equal to
+        # the "deferred_border" form (per-program border fix) in the r4
+        # interleaved A/B — both ~162-167 Gsps medians at 5×5
+        # (docs/roofline.md "2-D ablation ladder"); the simpler in-loop
+        # form stays default.
         base = (c - 1) * stride - left
-        mask = core_row
-        if base < 0:
-            mask = mask & (col_idx >= -base)
-        if base + LANE > core_w:
-            mask = mask & (col_idx < core_w - base)
-        o_ref[:, c * LANE : (c + 1) * LANE] = jnp.where(mask, assembled, 0)
+        if do_mask:
+            mask = core_row if in_loop_mask else None
+            if base < 0:
+                cm = col_idx >= -base
+                mask = cm if mask is None else mask & cm
+            if base + LANE > core_w:
+                cm = col_idx < core_w - base
+                mask = cm if mask is None else mask & cm
+            if mask is not None:
+                assembled = jnp.where(mask, assembled, 0)
+        o_ref[:, c * LANE : (c + 1) * LANE] = assembled
         prev, cur = cur, nxt
+
+    if do_mask and not in_loop_mask:
+        # Deferred border fix ("deferred_border" ablation): only the
+        # (at most two) programs whose row block touches the top/bottom
+        # pad do any work here; interior programs skip both branches
+        # entirely (a once-per-program pl.when, NOT the per-tile gating
+        # the r3 ablation measured at 72 Gsps).
+        @pl.when(r * block_rows < t0)
+        def _zero_top():  # block_rows % t0 == 0 ⇒ the slice is in-block
+            o_ref[:t0, :] = jnp.zeros((t0, wp), jnp.uint8)
+
+        bot0 = t0 + core_h
+
+        @pl.when((r + 1) * block_rows > bot0)
+        def _zero_bottom():
+            keep = r * block_rows + jax.lax.broadcasted_iota(
+                jnp.int32, (block_rows, wp), 0) < bot0
+            o_ref[:] = jnp.where(keep, o_ref[:], 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "left", "center", "stride", "t0",
                      "core_h", "core_w", "frac_bits", "acc_bits",
-                     "block_rows", "needs_wrap", "aliased", "interpret"),
+                     "block_rows", "needs_wrap", "aliased", "interpret",
+                     "ablate"),
 )
 def _fir2d_oframe(
     x_ext,    # (Hp, Wp) uint8 overlapped frame
@@ -665,6 +741,7 @@ def _fir2d_oframe(
     needs_wrap: bool,
     aliased: bool,
     interpret: bool,
+    ablate: str = "default",
 ):
     hp, wp = x_ext.shape
     bpt = block_rows // t0
@@ -692,6 +769,7 @@ def _fir2d_oframe(
         plan=plan, left=left, center=center,
         stride=stride, t0=t0, core_h=core_h, core_w=core_w,
         frac_bits=frac_bits, acc_bits=acc_bits, needs_wrap=needs_wrap,
+        ablate=ablate,
     )
     return pl.pallas_call(
         kernel,
@@ -716,6 +794,7 @@ def fir2d_fixed_frame_overlap(
     block_rows: int | None = None,
     scratch=None,
     interpret: bool | None = None,
+    ablate: str = "default",
 ) -> jax.Array:
     """Shape-preserving fixed 2-D FIR over an OVERLAPPED frame.
 
@@ -774,6 +853,7 @@ def fir2d_fixed_frame_overlap(
         needs_wrap,
         scratch is not None,
         (jax.default_backend() != "tpu") if interpret is None else interpret,
+        ablate,
     )
 
 

@@ -35,7 +35,7 @@ class ChainConfig:
     use_fft_channelizer: bool = True
     #: "auto" → on TPU, the r4 single-pass fused chain kernel
     #: (``kernels/chain_fused.py``: resample+channelize+demod in one
-    #: Pallas pass, ~4.7× less HBM traffic than the staged pipeline)
+    #: Pallas pass, 3× less HBM traffic than the staged pipeline)
     #: when the config supports it, else the staged MXU path; "fused"
     #: forces the fused kernel; "mxu" (staged f32 MXU band kernel) /
     #: "pallas" (fused matmul-FFT) / "jnp" (jnp.fft) force a staged

@@ -126,3 +126,66 @@ def _stream_step(x_i32, carry_i32, h_i32, num_taps, frac_bits, acc_bits):
         new_carry = carry_i32
     y = fixed_fir_prehaloed_i32(ext, h_i32, num_taps, frac_bits, acc_bits)
     return y, new_carry
+
+
+def stream_scanned(
+    stream: "Fir1DStream",
+    block_fn,
+    num_blocks: int,
+    *,
+    emit_fn=None,
+    start_block: int = 0,
+):
+    """Run ``num_blocks`` streaming steps in ONE device program.
+
+    The per-block host round trip of :meth:`Fir1DStream.process` (state
+    download + next-block upload, ~30 ms dispatch latency each through
+    a remote tunnel) caps sustained throughput at a few Gsps regardless
+    of the kernel; for long streams the whole block loop belongs on
+    device.  This rolls it into a ``lax.scan``: ``block_fn(b)`` builds
+    block ``b`` IN-GRAPH (e.g. a synthetic generator, or a
+    ``dynamic_slice`` of a device-resident buffer), the delay-line
+    carry stays on device for the whole scan, and only
+    ``emit_fn(y_block)`` (default: a pair of int64 checksums) returns
+    per block — so a multi-billion-sample stream runs at kernel speed.
+
+    The stream's checkpointable state is updated exactly as if the
+    blocks had been fed one by one: resuming a second ``stream_scanned``
+    call from a saved :class:`FirStreamState` is bit-identical to one
+    uninterrupted run (asserted in tests and bench_streaming.py).
+
+    Returns the stacked ``emit_fn`` outputs (leading axis num_blocks).
+    """
+    if emit_fn is None:
+        def emit_fn(y):  # default: order-sensitive + plain checksums
+            y64 = y.astype(jnp.int64)
+            w = jnp.arange(1, y.shape[-1] + 1, dtype=jnp.int64)
+            return jnp.stack([jnp.sum(y64), jnp.sum(y64 * w)])
+
+    num_taps = stream.num_taps
+    frac_bits = stream.qformat.frac_bits
+    acc_bits = stream.qformat.acc_bits
+
+    @partial(jax.jit, static_argnames=())
+    def _run(carry0, h_i32, b0):
+        def body(carry, b):
+            x = jnp.asarray(block_fn(b), jnp.int32)
+            y, carry = _stream_step(
+                x, carry, h_i32, num_taps, frac_bits, acc_bits)
+            return carry, emit_fn(y)
+        return jax.lax.scan(
+            body, carry0, b0 + jnp.arange(num_blocks, dtype=jnp.int32))
+
+    carry, emitted = _run(
+        jnp.asarray(stream.state.carry),
+        jnp.asarray(stream._h_fixed),
+        jnp.int32(start_block),
+    )
+    block_width = None  # derived below from one traced block
+    probe = jax.eval_shape(block_fn, jnp.int32(0))
+    block_width = int(probe.shape[-1])
+    stream.state = FirStreamState(
+        carry=np.asarray(carry, np.int32),
+        samples_seen=stream.state.samples_seen + num_blocks * block_width,
+    )
+    return emitted

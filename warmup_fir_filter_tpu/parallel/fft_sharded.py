@@ -62,14 +62,18 @@ def make_overlap_save_step(
     if backend == "pallas":
         from warmup_fir_filter_tpu.kernels.fft_pallas import (
             _dft_tables,
+            _osfilt_fold_tables,
             _osfilt_spectrum,
             _use_interpret,
+            factor_nfft,
         )
 
         # The filter spectrum and DFT tables are real planes (no complex
-        # transfer), replicated across the mesh.
+        # transfer), replicated across the mesh.  Folded + bf16-pre-split
+        # on the host (r4) — must happen before the shard_map trace.
         hc, hs = _osfilt_spectrum(h64, nfft)
-        tables = {k: jnp.asarray(v) for k, v in _dft_tables(nfft).items()}
+        tables = _osfilt_fold_tables(hc, hs, _dft_tables(nfft),
+                                     *factor_nfft(nfft))
         interpret = _use_interpret()
 
     def _local_filter(segments, h_f32):
