@@ -30,20 +30,25 @@ Design (see /opt/skills/guides/pallas_guide.md):
   ``(N1·R, N2)`` operands (r3: an in-kernel sublane ``jnp.repeat`` was
   a full-plane relayout per block).
 
-  Measured bound (r3, `docs/roofline.md` FFT section): ~2.4 Gsps fused
-  / 10.2 Gsps forward-only — ~12× below the bf16 matmul bound; the
-  kernel is elementwise/relayout-pass-bound, which is acceptable for
-  the float MODEL path (the production bit-exact path is the direct
-  MXU band kernel at 100×+ this rate).
+  Measured bound (r3+r4, `docs/roofline.md` FFT sections): ~2.4-2.6
+  Gsps fused / 10.2 Gsps forward-only — ~12× below the bf16 matmul
+  bound, and INVARIANT to elementwise-pass restructuring: the r4
+  kernel deleted the layout relayouts, the constant splits, and (via
+  per-k1 folded tables) the twiddle/spectrum multiplies, and the
+  number did not move.  Acceptable for the float MODEL path (the
+  production bit-exact path is the direct MXU band kernel at 100×+
+  this rate).
 
 - **Fused overlap-save filter.**  The forward FFT leaves the spectrum
   in *scrambled* ``[k1, b, k2]`` order.  Rather than paying the
   natural-order relayout, the filter's frequency response is
-  pre-permuted to the same order (``Hp[k1, k2] = H[k1 + N1·k2]``), the
-  multiply happens in scrambled order, and the inverse FFT consumes
-  scrambled input and emits natural order — the two relayouts cancel.
-  One kernel: segments → forward DFTs → H multiply → inverse DFTs →
-  filtered block, never leaving VMEM, 12 real MXU matmuls total.
+  pre-permuted to the same order (``Hp[k1, k2] = H[k1 + N1·k2]``) and
+  — in the r4 kernel for the common ``1 < N1 ≤ 8`` regime — FOLDED,
+  together with both twiddle stages, into per-k1 matmul table
+  constants (``_osfilt_fold_tables``).  One kernel: natural column
+  slabs → VPU outer DFT → per-k1 complex matmuls (forward+filter+
+  inverse factors in the tables) → VPU inverse outer DFT → filtered
+  block, never leaving VMEM.
 
 - **No complex dtypes anywhere**: split re/im float32 planes (the axon
   backend cannot transfer complex64 host→device; twiddle/DFT tables and
