@@ -124,6 +124,15 @@ def main() -> int:
             qf.quantize_coeffs(h).astype(np.int32)),
         taps, qf.frac_bits, qf.acc_bits))
     stitch_ok = bool(np.array_equal(got, expected))
+    # Cross-core check: the scan path (banded MXU kernel on TPU) and the
+    # blockwise process() path (jnp i32 core) must produce identical
+    # checksums for the same block.
+    y64 = y_pair[0].astype(np.int64)
+    w = np.arange(1, y64.shape[-1] + 1, dtype=np.int64)
+    want0 = int(y64.sum()) % (1 << 32)
+    want1 = int((y64 * w).sum()) % (1 << 32)
+    got_ck = sums_full[half - 1].astype(np.int64) % (1 << 32)
+    cross_core_ok = bool(got_ck[0] == want0 and got_ck[1] == want1)
     del sums_c
 
     print(json.dumps({
@@ -137,11 +146,13 @@ def main() -> int:
         "resume_checksums_match": resume_ok,
         "resume_state_match": state_ok,
         "stitch_bit_exact": stitch_ok,
+        "scan_vs_blockwise_checksums_match": cross_core_ok,
         "backend": jax.default_backend(),
         "elapsed_s": round(time.perf_counter() - start, 1),
     }))
     sys.stdout.flush()
-    return 0 if (resume_ok and state_ok and stitch_ok) else 1
+    return 0 if (resume_ok and state_ok and stitch_ok
+                 and cross_core_ok) else 1
 
 
 if __name__ == "__main__":

@@ -60,9 +60,15 @@ def main() -> int:
             if not np.array_equal(got, golden):
                 raise AssertionError("not bit-exact vs golden")
             entry["bit_exact"] = True
+            # Same chain lengths as bench.py.  (Note: the 5-tap row
+            # reads ~245-255 Gsps vs bench.py's ~315-335 because the
+            # sweep uses a design_lowpass filter whose quantized taps
+            # need more signed-base-256 digit planes than the
+            # headline's 'sharpen' bank entry — more dots per tile,
+            # same kernel; both are bit-exact-gated.)
             r = chained_throughput(
                 lambda a, hh=h: fir1d_fixed_rows_auto(a, hh), x_dev,
-                chain_short=4, chain_long=24, repeats=3)
+                chain_short=8, chain_long=104, repeats=3)
             msps = x.size / r["seconds_per_apply"] / 1e6
             per_taps[str(taps)] = round(msps, 1)
             entry["msps"] = round(msps, 1)
