@@ -62,6 +62,14 @@ from warmup_fir_filter_tpu.ops.resample import _plan
 #: unrolled three-stage body at a sane compile time (~600 dots).
 FUSED_SEG_TILES = 64
 
+#: Column-superblocks row-folded per program (see the kernel's folding
+#: note).  MEASURED NEUTRAL on v5e (interleaved A/B at 16ch × 2M:
+#: fold 1/2/4 medians 16.3/16.5/15.5 Gsps — one noise band), as was
+#: the vstacked-operand ``opt="stacked"`` form: the fused chain is
+#: bound by its total in-kernel elementwise work, not by MXU fill
+#: latency or program count.  Kept as a documented knob; default 1.
+FUSED_FOLD = 1
+
 #: Input halo width (lane tiles) on each side of an input superblock:
 #: covers the two extra resampled tiles (one per side beyond the extra
 #: channelizer tile) at the largest supported stride.
@@ -128,24 +136,41 @@ def _chain_fused_kernel(
     inv_gain: float,
     bf16x3: bool,
     opt: str = "base",
+    fold: int = 1,
 ):
     c = pl.program_id(0)
-    seg_in = xm_ref.shape[1]
+    rows0 = xm_ref.shape[0]
+    seg_in = xm_ref.shape[1] // fold
     halo = xl_ref.shape[1]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     if not bf16x3:
         dot = functools.partial(dot, precision=jax.lax.Precision.HIGHEST)
 
     # --- assemble the extended input window (stream edges zeroed) ---
+    # Column-superblock ROW-FOLDING (r4): the program's main block
+    # covers ``fold`` consecutive superblocks; their extended windows
+    # have identical local geometry, so stacking them as extra ROWS
+    # lets every band dot run at fold·2C rows — the dots are
+    # fill-latency-bound at 32 rows, so a 128-row dot costs roughly
+    # what a 32-row dot does and per-sample MXU time drops ~fold×.
+    # The inter-superblock halos inside the folded span are just
+    # adjacent columns of the same block; only the outer edges use the
+    # halo operands.
     x = xm_ref[:]
-    col_abs = c * seg_in + jax.lax.broadcasted_iota(
-        jnp.int32, (1, seg_in), 1)
+    col_abs = c * fold * seg_in + jax.lax.broadcasted_iota(
+        jnp.int32, (1, fold * seg_in), 1)
     x = jnp.where(col_abs < n, x, jnp.float32(0.0))
     lt = jnp.where(c == 0, jnp.float32(0.0), xl_ref[:])
-    rt_abs = (c + 1) * seg_in + jax.lax.broadcasted_iota(
+    rt_abs = (c + 1) * fold * seg_in + jax.lax.broadcasted_iota(
         jnp.int32, (1, halo), 1)
     rt = jnp.where(rt_abs < n, xr_ref[:], jnp.float32(0.0))
-    x_ext = jnp.concatenate([lt, x, rt], axis=1)
+    x_all = jnp.concatenate([lt, x, rt], axis=1)
+    if fold == 1:
+        x_ext = x_all
+    else:
+        x_ext = jnp.concatenate(
+            [x_all[:, f * seg_in : (f + 1) * seg_in + 2 * halo]
+             for f in range(fold)], axis=0)  # (fold·2C, seg_in + 2·halo)
 
     stacked = bf16x3 and opt == "stacked"
 
@@ -185,11 +210,17 @@ def _chain_fused_kernel(
         rs_tiles.append(band_apply(
             xh, xlo, xst, slice(s, s + k_rows),
             rs_hi_ref[:], rs_lo_ref[:]))
-    rs = jnp.concatenate(rs_tiles, axis=1)  # (2C, (seg_tiles+3)·128)
+    rs = jnp.concatenate(rs_tiles, axis=1)  # (fold·2C, (seg_tiles+3)·128)
     # Same-mode pad of the *resampled* stream: zero cols outside
     # [0, out_len) so the channelizer sees the staged path's zero-pad.
-    rs_abs = (c * seg_tiles - 2) * LANE + jax.lax.broadcasted_iota(
-        jnp.int32, (1, rs.shape[1]), 1)
+    # With folding the absolute position depends on which fold a ROW
+    # belongs to: fold f covers output superblock c·fold + f.
+    f_of_row = jax.lax.broadcasted_iota(
+        jnp.int32, (rs.shape[0], rs.shape[1]), 0) // rows0
+    rs_abs = ((c * fold * seg_tiles - 2) * LANE
+              + f_of_row * seg_tiles * LANE
+              + jax.lax.broadcasted_iota(
+                  jnp.int32, (rs.shape[0], rs.shape[1]), 1))
     rs = jnp.where((rs_abs >= 0) & (rs_abs < out_len), rs, jnp.float32(0.0))
 
     if bf16x3:
@@ -226,26 +257,31 @@ def _chain_fused_kernel(
     ch = jnp.concatenate(ch_tiles, axis=1)  # (2C, (seg_tiles+1)·128)
 
     # --- stage 3: FM discriminator (split planes, shift-by-one) ---
-    # ch tile p sits at scratch cols [(p+1)·128, (p+2)·128).
-    re_ch = ch[:channels]
-    im_ch = ch[channels:]
+    # ch tile p sits at scratch cols [(p+1)·128, (p+2)·128); fold f
+    # owns rows [f·2C, (f+1)·2C) and output cols [f·S·128, (f+1)·S·128).
     cur = slice(LANE, LANE + seg_tiles * LANE)
     prv = slice(LANE - 1, LANE - 1 + seg_tiles * LANE)
-    re_c, im_c = re_ch[:, cur], im_ch[:, cur]
-    re_p, im_p = re_ch[:, prv], im_ch[:, prv]
-    d = atan2_poly(im_c * re_p - re_c * im_p,
-                   re_c * re_p + im_c * im_p) * jnp.float32(inv_gain)
-    # First stream sample has no predecessor → 0 (ops/demod.py).
-    out_abs = c * seg_tiles * LANE + jax.lax.broadcasted_iota(
-        jnp.int32, (1, seg_tiles * LANE), 1)
-    o_ref[:] = jnp.where(out_abs == 0, jnp.float32(0.0), d)
+    outs = []
+    for f in range(fold):
+        re_ch = ch[f * rows0 : f * rows0 + channels]
+        im_ch = ch[f * rows0 + channels : (f + 1) * rows0]
+        re_c, im_c = re_ch[:, cur], im_ch[:, cur]
+        re_p, im_p = re_ch[:, prv], im_ch[:, prv]
+        d = atan2_poly(im_c * re_p - re_c * im_p,
+                       re_c * re_p + im_c * im_p) * jnp.float32(inv_gain)
+        # First stream sample has no predecessor → 0 (ops/demod.py).
+        out_abs = ((c * fold + f) * seg_tiles * LANE
+                   + jax.lax.broadcasted_iota(
+                       jnp.int32, (1, seg_tiles * LANE), 1))
+        outs.append(jnp.where(out_abs == 0, jnp.float32(0.0), d))
+    o_ref[:] = outs[0] if fold == 1 else jnp.concatenate(outs, axis=1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ds", "k_rows", "first_read", "ch_left", "ch_center",
                      "out_len", "channels", "seg_tiles", "inv_gain",
-                     "bf16x3", "interpret", "opt"),
+                     "bf16x3", "interpret", "opt", "fold"),
 )
 def _chain_fused(
     x,            # (2C, T) stacked I/Q rows
@@ -263,15 +299,16 @@ def _chain_fused(
     bf16x3: bool,
     interpret: bool,
     opt: str = "base",
+    fold: int = 1,
 ):
     rows, n = x.shape
     seg_in = seg_tiles * ds
     seg_out = seg_tiles * LANE
     halo = _HALO_TILES * LANE
     t_in = seg_in // LANE
-    grid_cols = -(-out_len // seg_out)
-    hb = t_in // _HALO_TILES  # halo blocks per superblock (H | t_in)
-    main_spec = pl.BlockSpec((rows, seg_in), lambda c: (0, c),
+    grid_cols = -(-out_len // (fold * seg_out))
+    hb = fold * t_in // _HALO_TILES  # halo blocks per program span
+    main_spec = pl.BlockSpec((rows, fold * seg_in), lambda c: (0, c),
                              memory_space=pltpu.VMEM)
     left_spec = pl.BlockSpec(
         (rows, halo), lambda c: (0, jnp.maximum(c * hb - 1, 0)),
@@ -289,11 +326,12 @@ def _chain_fused(
             _chain_fused_kernel, ds=ds, k_rows=k_rows,
             first_read=first_read, ch_left=ch_left, ch_center=ch_center,
             n=n, out_len=out_len, channels=channels, seg_tiles=seg_tiles,
-            inv_gain=inv_gain, bf16x3=bf16x3, opt=opt),
+            inv_gain=inv_gain, bf16x3=bf16x3, opt=opt, fold=fold),
         grid=(grid_cols,),
         in_specs=[band_spec(a) for a in operands] + [
             main_spec, left_spec, right_spec],
-        out_specs=pl.BlockSpec((channels, seg_out), lambda c: (0, c),
+        out_specs=pl.BlockSpec((channels, fold * seg_out),
+                               lambda c: (0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((channels, out_len), jnp.float32),
         interpret=interpret,
@@ -341,6 +379,7 @@ def chain_forward_fused(
     interpret: bool | None = None,
     seg_tiles: int = FUSED_SEG_TILES,
     opt: str = "base",
+    fold: int = FUSED_FOLD,
 ) -> jax.Array:
     """Run the fused chain on (C, T) I/Q rows → (C, T') message rows.
 
@@ -392,4 +431,6 @@ def chain_forward_fused(
         ds, k_rows, first_read, ch_left, ch_center, out_len, channels,
         seg_tiles, float(1.0 / (2.0 * np.pi * k_f)), bf16x3, interp,
         opt=opt,
+        fold=max(1, min(fold, 128 // (2 * channels),
+                        -(-out_len // (seg_tiles * LANE)))),
     )
