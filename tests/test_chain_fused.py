@@ -117,3 +117,36 @@ class TestFusedChainParity:
             chain_forward_fused(re, im, h_rs, h_ch, 2, 3, -1.0)
         with pytest.raises(ValueError, match="matching"):
             chain_forward_fused(re[:, :-1], im, h_rs, h_ch, 2, 3, 0.05)
+
+
+@pytest.mark.parametrize("up,down,rs_taps,ch_taps,channels", [
+    (2, 3, 63, 63, 8),      # flagship geometry
+    (4, 3, 47, 31, 8),      # larger upsample, shorter filters
+    (2, 1, 33, 97, 8),      # pure upsample, long channelizer
+    (8, 5, 63, 129, 16),    # deep polyphase, max merged channelizer
+    (1, 2, 31, 63, 8),      # pure decimation
+    (2, 3, 95, 63, 24),     # longer resampler branches, 24 channels
+])
+def test_fused_config_sweep_matches_staged(rng, up, down, rs_taps,
+                                           ch_taps, channels):
+    """Every supported (up, down, taps, channels) geometry must agree
+    with the staged composition — the fused kernel's margins, strides,
+    and scratch offsets are all config-dependent."""
+    from warmup_fir_filter_tpu.ops.resample import design_lowpass
+
+    assert chain_fused_supported(channels, up, down, rs_taps, ch_taps)
+    cfg = dataclasses.replace(
+        ChainConfig(), resample_up=up, resample_down=down,
+        resample_taps=rs_taps, channelizer_taps=ch_taps,
+        channelizer_backend="mxu")
+    h_rs = cfg.resample_filter()
+    h_ch = cfg.channelizer_filter()
+    t_len = 64 * 128 * down // up + 333  # >1 superblock + ragged tail
+    msg = rng.standard_normal((channels, t_len)) * 0.3
+    re, im = fm_modulate(msg, cfg.demod_k_f)
+    re, im = re.astype(np.float32), im.astype(np.float32)
+    staged = np.asarray(chain_forward(re, im, cfg), np.float64)
+    fused = np.asarray(chain_forward_fused(
+        re, im, h_rs, h_ch, up, down, cfg.demod_k_f), np.float64)
+    assert fused.shape == staged.shape
+    assert _snr_db(fused, staged) > 85.0, (up, down, rs_taps, ch_taps)

@@ -70,10 +70,26 @@ FUSED_SEG_TILES = 64
 #: latency or program count.  Kept as a documented knob; default 1.
 FUSED_FOLD = 1
 
-#: Input halo width (lane tiles) on each side of an input superblock:
-#: covers the two extra resampled tiles (one per side beyond the extra
-#: channelizer tile) at the largest supported stride.
-_HALO_TILES = 4
+#: Candidate input-halo widths (lane tiles) per superblock side.  The
+#: halo must cover the two extra resampled tiles each side (one beyond
+#: the extra channelizer tile); wide-stride / long-branch configs (e.g.
+#: pure decimation) need more than the flagship's 4 tiles, and wider
+#: halos cost proportionally more re-read traffic, so the smallest
+#: sufficient width that also divides the superblock is chosen.
+_HALO_TILE_CHOICES = (4, 8, 16, 32)
+
+
+def _halo_tiles_for(ds: int, first_read: int, k_rows: int,
+                    seg_in_tiles: int) -> int | None:
+    """Smallest halo width (tiles) covering the resample margins, or
+    None if no candidate fits this geometry."""
+    for h in _HALO_TILE_CHOICES:
+        halo = h * LANE
+        if (2 * ds - first_read <= halo
+                and first_read + k_rows + ds <= halo
+                and seg_in_tiles % h == 0):
+            return h
+    return None
 
 
 def _atan2_coeffs() -> np.ndarray:
@@ -281,7 +297,7 @@ def _chain_fused_kernel(
     jax.jit,
     static_argnames=("ds", "k_rows", "first_read", "ch_left", "ch_center",
                      "out_len", "channels", "seg_tiles", "inv_gain",
-                     "bf16x3", "interpret", "opt", "fold"),
+                     "bf16x3", "interpret", "opt", "fold", "halo_tiles"),
 )
 def _chain_fused(
     x,            # (2C, T) stacked I/Q rows
@@ -300,14 +316,15 @@ def _chain_fused(
     interpret: bool,
     opt: str = "base",
     fold: int = 1,
+    halo_tiles: int = 4,
 ):
     rows, n = x.shape
     seg_in = seg_tiles * ds
     seg_out = seg_tiles * LANE
-    halo = _HALO_TILES * LANE
+    halo = halo_tiles * LANE
     t_in = seg_in // LANE
     grid_cols = -(-out_len // (fold * seg_out))
-    hb = fold * t_in // _HALO_TILES  # halo blocks per program span
+    hb = fold * t_in // halo_tiles  # halo blocks per program span
     main_spec = pl.BlockSpec((rows, fold * seg_in), lambda c: (0, c),
                              memory_space=pltpu.VMEM)
     left_spec = pl.BlockSpec(
@@ -357,13 +374,10 @@ def chain_fused_supported(
     except ValueError:
         return False
     first_read = beta0 - (j_count - 1)
-    halo = _HALO_TILES * LANE
-    if 2 * ds - first_read > halo or first_read + k_rows + ds > halo:
+    if (FUSED_SEG_TILES * ds) % LANE:
         return False
     seg_in_tiles = FUSED_SEG_TILES * ds // LANE
-    if (FUSED_SEG_TILES * ds) % LANE or seg_in_tiles % _HALO_TILES:
-        return False
-    return True
+    return _halo_tiles_for(ds, first_read, k_rows, seg_in_tiles) is not None
 
 
 def chain_forward_fused(
@@ -406,6 +420,9 @@ def chain_forward_fused(
     out_len, _, _, _ = _plan(n, up, down, h_rs.size)
     a, k_rows, ds, beta0, j_count = build_resample_band(h_rs, up, down)
     first_read = beta0 - (j_count - 1)
+    halo_tiles = _halo_tiles_for(ds, first_read, k_rows,
+                                 seg_tiles * ds // LANE)
+    assert halo_tiles is not None  # guarded by chain_fused_supported
     ap, ac, an = build_tile_band_planes_f32(h_ch)
     ch_center = h_ch.size // 2
     ch_left = h_ch.size - 1 - ch_center
@@ -433,4 +450,5 @@ def chain_forward_fused(
         opt=opt,
         fold=max(1, min(fold, 128 // (2 * channels),
                         -(-out_len // (seg_tiles * LANE)))),
+        halo_tiles=halo_tiles,
     )
