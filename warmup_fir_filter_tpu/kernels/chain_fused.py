@@ -172,14 +172,22 @@ def _chain_fused_kernel(
     # The inter-superblock halos inside the folded span are just
     # adjacent columns of the same block; only the outer edges use the
     # halo operands.
+    # opt values "no_masks" / "cheap_demod" are MEASUREMENT-ONLY
+    # ablations (wrong at stream edges / wrong demod): they isolate the
+    # cost of the edge masking and of the polynomial discriminator on
+    # real hardware (docs/roofline.md).
+    do_masks = opt != "no_masks"
     x = xm_ref[:]
-    col_abs = c * fold * seg_in + jax.lax.broadcasted_iota(
-        jnp.int32, (1, fold * seg_in), 1)
-    x = jnp.where(col_abs < n, x, jnp.float32(0.0))
-    lt = jnp.where(c == 0, jnp.float32(0.0), xl_ref[:])
-    rt_abs = (c + 1) * fold * seg_in + jax.lax.broadcasted_iota(
-        jnp.int32, (1, halo), 1)
-    rt = jnp.where(rt_abs < n, xr_ref[:], jnp.float32(0.0))
+    if do_masks:
+        col_abs = c * fold * seg_in + jax.lax.broadcasted_iota(
+            jnp.int32, (1, fold * seg_in), 1)
+        x = jnp.where(col_abs < n, x, jnp.float32(0.0))
+        lt = jnp.where(c == 0, jnp.float32(0.0), xl_ref[:])
+        rt_abs = (c + 1) * fold * seg_in + jax.lax.broadcasted_iota(
+            jnp.int32, (1, halo), 1)
+        rt = jnp.where(rt_abs < n, xr_ref[:], jnp.float32(0.0))
+    else:
+        lt, rt = xl_ref[:], xr_ref[:]
     x_all = jnp.concatenate([lt, x, rt], axis=1)
     if fold == 1:
         x_ext = x_all
@@ -231,13 +239,15 @@ def _chain_fused_kernel(
     # [0, out_len) so the channelizer sees the staged path's zero-pad.
     # With folding the absolute position depends on which fold a ROW
     # belongs to: fold f covers output superblock c·fold + f.
-    f_of_row = jax.lax.broadcasted_iota(
-        jnp.int32, (rs.shape[0], rs.shape[1]), 0) // rows0
-    rs_abs = ((c * fold * seg_tiles - 2) * LANE
-              + f_of_row * seg_tiles * LANE
-              + jax.lax.broadcasted_iota(
-                  jnp.int32, (rs.shape[0], rs.shape[1]), 1))
-    rs = jnp.where((rs_abs >= 0) & (rs_abs < out_len), rs, jnp.float32(0.0))
+    if do_masks:
+        f_of_row = jax.lax.broadcasted_iota(
+            jnp.int32, (rs.shape[0], rs.shape[1]), 0) // rows0
+        rs_abs = ((c * fold * seg_tiles - 2) * LANE
+                  + f_of_row * seg_tiles * LANE
+                  + jax.lax.broadcasted_iota(
+                      jnp.int32, (rs.shape[0], rs.shape[1]), 1))
+        rs = jnp.where((rs_abs >= 0) & (rs_abs < out_len), rs,
+                       jnp.float32(0.0))
 
     if bf16x3:
         rh, rl = _split_bf16(rs)
@@ -283,8 +293,11 @@ def _chain_fused_kernel(
         im_ch = ch[f * rows0 + channels : (f + 1) * rows0]
         re_c, im_c = re_ch[:, cur], im_ch[:, cur]
         re_p, im_p = re_ch[:, prv], im_ch[:, prv]
-        d = atan2_poly(im_c * re_p - re_c * im_p,
-                       re_c * re_p + im_c * im_p) * jnp.float32(inv_gain)
+        if opt == "cheap_demod":  # measurement-only: skip the atan2
+            d = (im_c * re_p - re_c * im_p) * jnp.float32(inv_gain)
+        else:
+            d = atan2_poly(im_c * re_p - re_c * im_p,
+                           re_c * re_p + im_c * im_p) * jnp.float32(inv_gain)
         # First stream sample has no predecessor → 0 (ops/demod.py).
         out_abs = ((c * fold + f) * seg_tiles * LANE
                    + jax.lax.broadcasted_iota(
