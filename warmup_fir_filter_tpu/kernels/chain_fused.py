@@ -435,7 +435,12 @@ def chain_forward_fused(
     first_read = beta0 - (j_count - 1)
     halo_tiles = _halo_tiles_for(ds, first_read, k_rows,
                                  seg_tiles * ds // LANE)
-    assert halo_tiles is not None  # guarded by chain_fused_supported
+    if halo_tiles is None:
+        # chain_fused_supported guards the default seg_tiles; a custom
+        # seg_tiles can still produce an indivisible superblock.
+        raise ValueError(
+            f"no halo width fits seg_tiles={seg_tiles} for this resample "
+            f"geometry (ds={ds}, first_read={first_read}, k_rows={k_rows})")
     ap, ac, an = build_tile_band_planes_f32(h_ch)
     ch_center = h_ch.size // 2
     ch_left = h_ch.size - 1 - ch_center
