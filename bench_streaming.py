@@ -50,6 +50,7 @@ def main() -> int:
     from warmup_fir_filter_tpu.ops.qformat import QFormat
     from warmup_fir_filter_tpu.ops.streaming import (
         Fir1DStream,
+        auto_rows_split,
         stream_scanned,
     )
 
@@ -124,15 +125,14 @@ def main() -> int:
             qf.quantize_coeffs(h).astype(np.int32)),
         taps, qf.frac_bits, qf.acc_bits))
     stitch_ok = bool(np.array_equal(got, expected))
-    # Cross-core check: the scan path (banded MXU kernel on TPU) and the
-    # blockwise process() path (jnp i32 core) must produce identical
-    # checksums for the same block.
-    y64 = y_pair[0].astype(np.int64)
-    w = np.arange(1, y64.shape[-1] + 1, dtype=np.int64)
-    want0 = int(y64.sum()) % (1 << 32)
-    want1 = int((y64 * w).sum()) % (1 << 32)
-    got_ck = sums_full[half - 1].astype(np.int64) % (1 << 32)
-    cross_core_ok = bool(got_ck[0] == want0 and got_ck[1] == want1)
+    # Cross-core check: the scan path (row-split banded MXU kernel on
+    # TPU) and the blockwise process() path (jnp i32 core) must produce
+    # identical checksums for the same block.
+    from warmup_fir_filter_tpu.ops.streaming import host_emit_checksums
+
+    want = host_emit_checksums(y_pair[0])
+    got_ck = sums_full[half - 1].astype(np.uint64)
+    cross_core_ok = bool(np.array_equal(got_ck, want))
     del sums_c
 
     print(json.dumps({
@@ -143,6 +143,8 @@ def main() -> int:
         "total_samples": total,
         "blocks": num_blocks,
         "block_shape": [channels, block],
+        "rows_split": (auto_rows_split(channels, block, int(h.size))
+                       if jax.default_backend() == "tpu" else 1),
         "resume_checksums_match": resume_ok,
         "resume_state_match": state_ok,
         "stitch_bit_exact": stitch_ok,

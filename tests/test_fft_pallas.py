@@ -152,3 +152,70 @@ class TestFusedOverlapSave:
             fir_overlap_save_pallas(
                 np.zeros((1, 8), np.uint8), np.ones(63), nfft=32768
             )
+
+
+class TestStreamOverlapSave:
+    """r5 zero-copy stream kernel: in-VMEM framing, direct valid output.
+
+    The kernel reads the raw (C, T) stream with aligned halo tiles and
+    emits same-mode outputs with no XLA framing/unframing pass; the
+    spectral shift d places the valid half-window on aligned chunks
+    (see kernels/fft_pallas.py, stream-kernel section).
+    """
+
+    CASES = [
+        # (C, T, L, off) — spans edges, offsets, ragged widths, L range
+        (3, 2000, 63, 0),
+        (2, 1111, 63, 31),      # the sharded-path offset contract
+        (1, 700, 5, 0),
+        (4, 4096, 129, 64),
+        (2, 900, 257, 128),     # L at the kernel cap, d = 0
+        (2, 513, 63, 62),
+        (3, 300, 63, 0),        # single partial program
+        (2, 257, 1, 0),         # identity filter, m_shift = 0
+    ]
+
+    @pytest.mark.parametrize("channels,time,taps,off", CASES)
+    def test_matches_reference_overlap_save(self, rng, channels, time,
+                                            taps, off):
+        from warmup_fir_filter_tpu.kernels.fft_pallas import (
+            fir_overlap_save_stream,
+            stream_kernel_supported,
+        )
+        from warmup_fir_filter_tpu.ops.resample import design_lowpass
+
+        assert stream_kernel_supported(taps, off)
+        x = rng.standard_normal((channels, time + off)).astype(np.float32)
+        h = design_lowpass(taps, 0.2) if taps > 1 else np.array([1.0])
+        ref = np.asarray(fir_overlap_save(x, h), np.float64)[:, off:]
+        got = np.asarray(
+            fir_overlap_save_stream(x, h, off=off, out_len=time),
+            np.float64)
+        assert float(snr_db(ref[:, :time], got)) > 90.0
+
+    def test_u8_fused_output(self, rng):
+        from warmup_fir_filter_tpu.kernels.fft_pallas import (
+            fir_overlap_save_stream,
+        )
+        from warmup_fir_filter_tpu.ops.resample import design_lowpass
+
+        h = design_lowpass(63, 0.25)
+        x = rng.integers(0, 256, size=(2, 3000), dtype=np.uint8)
+        got = np.asarray(fir_overlap_save_stream(x, h, out_u8=True))
+        reff = np.asarray(
+            fir_overlap_save(x.astype(np.float32), h), np.float64)
+        ref = np.clip(np.floor(reff + 0.5), 0, 255).astype(np.uint8)
+        assert got.dtype == np.uint8
+        assert float((got == ref).mean()) > 0.999  # float-rounding ties
+
+    def test_unsupported_rejected(self):
+        from warmup_fir_filter_tpu.kernels.fft_pallas import (
+            fir_overlap_save_stream,
+            stream_kernel_supported,
+        )
+
+        assert not stream_kernel_supported(259)   # past the L cap
+        assert not stream_kernel_supported(63, off=300)  # off+center > 256
+        with pytest.raises(ValueError, match="stream kernel"):
+            fir_overlap_save_stream(np.zeros((1, 512), np.float32),
+                                    np.ones(259))

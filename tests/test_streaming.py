@@ -6,7 +6,12 @@ import pytest
 from warmup_fir_filter_tpu.models.filters import FILTER_BANKS
 from warmup_fir_filter_tpu.models.golden import fir1d_fixed_golden_rows
 from warmup_fir_filter_tpu.ops.qformat import QFormat
-from warmup_fir_filter_tpu.ops.streaming import Fir1DStream, FirStreamState
+from warmup_fir_filter_tpu.ops.streaming import (
+    Fir1DStream,
+    FirStreamState,
+    auto_rows_split,
+    host_emit_checksums,
+)
 
 
 def _stream_all(stream, x, block):
@@ -116,17 +121,15 @@ class TestStreamScanned:
 
         scanned = Fir1DStream(h, channels)
         sums = np.asarray(stream_scanned(scanned, block_fn, blocks))
-        assert sums.shape == (blocks, 2)
+        assert sums.shape == (blocks, 3)
 
         manual = Fir1DStream(h, channels)
         for b in range(blocks):
             y = manual.process(np.asarray(block_fn(jnp.int32(b))))
-            y64 = y.astype(np.int64)
-            w = np.arange(1, width + 1, dtype=np.int64)
-            got = sums[b].astype(np.int64)
-            # default emit checksums run in i32 on TPU-default jax
-            assert got[0] % (1 << 32) == int(y64.sum()) % (1 << 32)
-            assert got[1] % (1 << 32) == int((y64 * w).sum()) % (1 << 32)
+            got = sums[b].astype(np.uint64)
+            want = host_emit_checksums(y)
+            # default emit checksums are uint32 residues mod 2**32
+            np.testing.assert_array_equal(got, want)
         np.testing.assert_array_equal(manual.state.carry,
                                       scanned.state.carry)
         assert manual.state.samples_seen == scanned.state.samples_seen
@@ -150,3 +153,48 @@ class TestStreamScanned:
         np.testing.assert_array_equal(
             np.concatenate([sums_a, sums_b]), sums_full)
         np.testing.assert_array_equal(b.state.carry, full.state.carry)
+
+    @pytest.mark.parametrize("rows_split", [2, 4, 8])
+    @pytest.mark.parametrize("tap", [3, 5, 7])
+    def test_wide_geometry_bit_equal(self, rng, tap, rows_split):
+        """The row-split MXU step (r5) is bit-identical to the
+        delay-line contract for every split, including carry flow
+        across blocks."""
+        import jax.numpy as jnp
+
+        from warmup_fir_filter_tpu.models.filters import FILTER_BANKS
+        from warmup_fir_filter_tpu.ops.qformat import QFormat
+        from warmup_fir_filter_tpu.ops.streaming import (
+            _stream_step,
+            _stream_step_mxu_wide,
+        )
+
+        h = np.asarray(FILTER_BANKS[min(tap, 5)]["sharpen"])[:tap] \
+            if tap <= 5 else np.linspace(-2.0, 2.0, tap)
+        qf = QFormat()
+        h_fixed = jnp.asarray(qf.quantize_coeffs(h).astype(np.int32))
+        channels, width = 3, 64
+        carry = jnp.asarray(
+            rng.integers(0, 256, size=(channels, h.size - 1)), jnp.int32)
+        x = jnp.asarray(
+            rng.integers(0, 256, size=(channels, width)), jnp.int32)
+        for _ in range(2):  # two chained blocks: carry flows through
+            y_ref, carry_ref = _stream_step(
+                x, carry, h_fixed, h.size, qf.frac_bits, qf.acc_bits)
+            y_wide, carry_wide = _stream_step_mxu_wide(
+                x, carry, h, qf, h.size, rows_split)
+            np.testing.assert_array_equal(np.asarray(y_wide),
+                                          np.asarray(y_ref))
+            np.testing.assert_array_equal(np.asarray(carry_wide),
+                                          np.asarray(carry_ref))
+            carry = carry_ref
+
+    def test_auto_rows_split_properties(self):
+        # divides the width, respects the row cap and min sub-width
+        r = auto_rows_split(16, 4_000_000, 5)
+        assert 4_000_000 % r == 0 and 16 * r <= 4096
+        assert 4_000_000 // r >= 512
+        assert r == 256  # the bench geometry lands row-rich
+        # indivisible / tiny widths degrade to identity
+        assert auto_rows_split(16, 97, 5) == 1
+        assert auto_rows_split(4096, 1024, 5) == 1

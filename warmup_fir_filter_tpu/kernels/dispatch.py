@@ -12,14 +12,16 @@ path              5-tap Gsps  63-tap Gsps  257-tap Gsps
 MXU band matmul     313-337       ~250         ~240
 Pallas VPU MAC         68          ~5           —
 jnp/XLA                27          ~3           —
-FFT overlap-save      ~2.4         2.4          2.4  (float, not bit-exact)
+FFT overlap-save      ~12         12.3         ~12  (float, not bit-exact)
 ================  ==========  ===========  ============
 
 (Every band-kernel figure is backed by a committed artifact; the
 63/257/1001/4096-tap rows are re-recorded each round by
-``bench_taps.py``.  The FFT figure is the chained-loop harness number;
-it is bounded by its elementwise/relayout passes, not its matmuls —
-see the FFT section of ``docs/roofline.md``.)  The int8 MXU eats taps
+``bench_taps.py``.  The FFT figure is the r5 stream kernel's
+chained-loop number — the r3/r4 2.4 Gsps plateau was the XLA framing
+passes, not the kernel; the granularity sweep that refuted both prior
+attributions and the stream-kernel design are in the FFT sections of
+``docs/roofline.md``.)  The int8 MXU eats taps
 nearly for free (adding taps only adds band density and digit planes
 under a memory-bound op), so the direct MXU kernel beats the FFT path
 at 63 taps by ~100× *and* stays bit-exact — the FFT path is the float

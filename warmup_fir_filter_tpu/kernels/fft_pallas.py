@@ -30,14 +30,13 @@ Design (see /opt/skills/guides/pallas_guide.md):
   ``(N1·R, N2)`` operands (r3: an in-kernel sublane ``jnp.repeat`` was
   a full-plane relayout per block).
 
-  Measured bound (r3+r4, `docs/roofline.md` FFT sections): ~2.4-2.6
-  Gsps fused / 10.2 Gsps forward-only — ~12× below the bf16 matmul
-  bound, and INVARIANT to elementwise-pass restructuring: the r4
-  kernel deleted the layout relayouts, the constant splits, and (via
-  per-k1 folded tables) the twiddle/spectrum multiplies, and the
-  number did not move.  Acceptable for the float MODEL path (the
-  production bit-exact path is the direct MXU band kernel at 100×+
-  this rate).
+  Measured (r5, `docs/roofline.md` "the framing passes were the
+  bottleneck"): the fused kernel itself runs 17-21 Gsps at every
+  program granularity; the r3/r4 2.4-2.6 Gsps full-path plateau was
+  the XLA framing/unframing passes (11.6 of 13 ms).  The r5 stream
+  kernel (below) deletes them structurally: 12.3 Gsps f32 / 15 Gsps
+  u8 end-to-end on v5e.  (The production bit-exact path remains the
+  direct MXU band kernel at ~20× this rate.)
 
 - **Fused overlap-save filter.**  The forward FFT leaves the spectrum
   in *scrambled* ``[k1, b, k2]`` order.  Rather than paying the
@@ -546,6 +545,235 @@ def _osfilt_kernel(f1c, f1s, tc, ts, f2c, f2s, hc, hs, g1c, g1s, g2c, g2s,
 
 
 # ---------------------------------------------------------------------------
+# r5 stream kernel: frame → FFT → filter → IFFT → unframe in ONE pass
+# ---------------------------------------------------------------------------
+#
+# The r5 granularity probe (docs/roofline.md, "FFT: the framing passes
+# were the bottleneck") showed the fused v2 kernel itself runs at
+# 18-21 Gsps at EVERY program granularity — the 2.4-2.6 Gsps full-path
+# plateau was the XLA-side ``frame_overlap`` + valid-slice/reshape
+# passes (11.5 of 13 ms, ~23 GB/s — pathological lowering).  This
+# kernel deletes those passes structurally: each program reads an
+# ALIGNED slab of the raw (C, T) stream (plus one halo lane-tile on
+# each side), builds the overlapping segments in VMEM, runs the folded
+# 4-step DFT filter, and writes back only the valid output samples.
+#
+# Alignment trick: with hop = nfft/2 = 256 every window start is a
+# lane-tile multiple, and a spectral shift ``d`` folded into H
+# (H_d[k] = H[k]·e^{-2πi·k·d/nfft}, which circularly delays the output
+# by d) places the valid (wrap-free) region exactly on the window's
+# aligned column chunks [nfft/2, nfft).  Choosing
+# ``d = (-(off + center)) mod 128`` also absorbs an arbitrary output
+# offset ``off`` (used by the sharded path to emit the halo-extended
+# block's interior directly), valid while d <= nfft/2 + 1 - L.
+#
+# Stream edges are handled with per-lane masks (global column iota vs
+# [0, Tx)), so ANY (C, T) — no 128-multiple requirement, no host pad,
+# no output slice — runs with zero XLA data passes.
+
+
+#: Windows per stream-kernel program target ~512 segment rows
+#: (R·C) — the granularity probe measured 17-21 Gsps flat across
+#: 64..1024 rows, so the choice is uncritical.
+_STREAM_TARGET_ROWS = 512
+
+
+def stream_kernel_supported(num_taps: int, off: int = 0,
+                            nfft: int = 512) -> bool:
+    """Gate for the r5 stream overlap-save kernel (nfft=512 4-step)."""
+    if nfft != 512:
+        return False
+    center = num_taps // 2
+    d = (-(off + center)) % LANE
+    return (1 <= num_taps <= 257 and off >= 0 and off + center <= 256
+            and d <= nfft // 2 + 1 - num_taps)
+
+
+def _osfilt_spectrum_shifted(h64, nfft: int, d: int):
+    """Scrambled-order filter spectrum with the alignment shift folded
+    in (circularly delays the filtered output by ``d`` samples)."""
+    n1, n2 = factor_nfft(nfft)
+    k = np.arange(nfft)
+    h_freq = np.fft.fft(np.asarray(h64, np.float64), nfft)
+    h_freq = h_freq * np.exp(-2j * np.pi * k * d / nfft)
+    hp = np.ascontiguousarray(h_freq.reshape(n2, n1).T)
+    return (np.ascontiguousarray(hp.real, np.float32),
+            np.ascontiguousarray(hp.imag, np.float32))
+
+
+def _osfilt_stream_kernel(f1c, f1s, t2fch, t2fcl, t2fsh, t2fsl,
+                          g1c, g1s, hg2ch, hg2cl, hg2sh, hg2sl,
+                          x_ref, hl_ref, hr_ref, o_ref, *,
+                          r_windows, channels, tx, m_shift, out_u8):
+    """One program: R overlapping 512-windows over an aligned slab.
+
+    Segment rows are ordered (window-major, channel-minor); the DFT /
+    folded-dot pipeline is the verified ``_osfilt_kernel_v2`` math with
+    ``block_rows = R·C``; only output chunks 2..3 (the valid half of
+    each window) run the inverse outer DFT.  ``m_shift`` =
+    ceil((off+center)/128) ∈ {1, 2} positions the windows: window r,
+    chunk jc reads global lane-tile ``j·2R + 2r + jc + m_shift − 2``.
+    """
+    n1, n2 = 4, LANE
+    r_n = r_windows
+    br = r_n * channels
+    j = pl.program_id(0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (channels, n2), 1)
+    tiles = {}
+    for g in range(m_shift - 2, 2 * r_n + m_shift):
+        if g < 0:
+            src = hl_ref[:, (g + 2) * n2:(g + 3) * n2]
+        elif g < 2 * r_n:
+            src = x_ref[:, g * n2:(g + 1) * n2]
+        else:
+            src = hr_ref[:, (g - 2 * r_n) * n2:(g - 2 * r_n + 1) * n2]
+        if src.dtype != jnp.float32:
+            src = src.astype(jnp.int32).astype(jnp.float32)
+        t = j * (2 * r_n) + g
+        cols = col_iota + t * n2
+        tiles[g] = jnp.where((cols >= 0) & (cols < tx), src, 0.0)
+    xr_slabs = [
+        jnp.concatenate(
+            [tiles[2 * r + jc + m_shift - 2] for r in range(r_n)], axis=0)
+        for jc in range(n1)
+    ]
+    ar, ai = _small_dft_list(f1c, f1s, xr_slabs, None, n1)
+
+    def ktab(ref, k):
+        return ref[k * n2:(k + 1) * n2]
+
+    fr_parts, fi_parts = [], []
+    for k in range(n1):
+        sl = slice(k * br, (k + 1) * br)
+        cr_k, ci_k = _cmatmul_s(
+            _ps3(ar[sl]), _ps3(ai[sl]),
+            (ktab(t2fch, k), ktab(t2fcl, k)),
+            (ktab(t2fsh, k), ktab(t2fsl, k)))
+        er_k, ei_k = _cmatmul_s(
+            _ps3(cr_k), _ps3(ci_k),
+            (ktab(hg2ch, k), ktab(hg2cl, k)),
+            (ktab(hg2sh, k), ktab(hg2sl, k)))
+        fr_parts.append(er_k)
+        fi_parts.append(ei_k)
+
+    # Inverse outer DFT — only the valid chunks p ∈ [256, 512).
+    for k in (2, 3):
+        acc = g1c[k, 0] * fr_parts[0] - g1s[k, 0] * fi_parts[0]
+        for jj in range(1, n1):
+            acc = (acc + g1c[k, jj] * fr_parts[jj]
+                   - g1s[k, jj] * fi_parts[jj])
+        if out_u8:
+            acc = jnp.clip(jnp.floor(acc + 0.5), 0, 255)
+            acc = acc.astype(jnp.int32).astype(jnp.uint8)
+        for r in range(r_n):
+            o_ref[:, r * 256 + (k - 2) * n2:
+                  r * 256 + (k - 1) * n2] = acc[r * channels:
+                                                (r + 1) * channels]
+
+
+def _stream_r_windows(channels: int) -> int:
+    return max(1, min(64, _STREAM_TARGET_ROWS // max(channels, 1)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_taps", "off", "out_len", "r_windows",
+                     "interpret", "out_u8"),
+)
+def _osfilt_stream(x, tables, num_taps, off, out_len, r_windows,
+                   interpret, out_u8=False):
+    """Pallas call for the stream kernel over raw (C, Tx) input."""
+    channels, tx = x.shape
+    r_n = r_windows
+    sw = 256 * r_n
+    grid = (-(-out_len // sw),)
+    mats = [tables["f1c"], tables["f1s"],
+            tables["t2fch"], tables["t2fcl"],
+            tables["t2fsh"], tables["t2fsl"],
+            tables["g1c"], tables["g1s"],
+            tables["hg2ch"], tables["hg2cl"],
+            tables["hg2sh"], tables["hg2sl"]]
+    center = num_taps // 2
+    m_shift = -(-(off + center) // LANE)  # ceil; ∈ {0, 1, 2}
+    kernel = functools.partial(
+        _osfilt_stream_kernel, r_windows=r_n, channels=channels, tx=tx,
+        m_shift=m_shift, out_u8=out_u8)
+    hblk = -(-tx // 256) - 1  # last 256-wide halo block index
+    main_spec = pl.BlockSpec((channels, sw), lambda j: (0, j),
+                             memory_space=pltpu.VMEM)
+    hl_spec = pl.BlockSpec(
+        (channels, 256),
+        lambda j: (0, jnp.maximum(j * r_n - 1, 0)),
+        memory_space=pltpu.VMEM)
+    hr_spec = pl.BlockSpec(
+        (channels, 256),
+        lambda j: (0, jnp.minimum(j * r_n + r_n, jnp.maximum(hblk, 0))),
+        memory_space=pltpu.VMEM)
+    out_dtype = jnp.uint8 if out_u8 else jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_plane_specs(4, [m.shape for m in mats])
+        + [main_spec, hl_spec, hr_spec],
+        out_specs=pl.BlockSpec((channels, sw), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((channels, out_len), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*mats, x, x, x)
+
+
+def _stream_tables(h64, num_taps: int, off: int):
+    """Folded + pre-split stream-kernel tables (host-side numpy)."""
+    center = num_taps // 2
+    d = (-(off + center)) % LANE
+    hc, hs = _osfilt_spectrum_shifted(h64, 512, d)
+    return _osfilt_fold_tables(hc, hs, _dft_tables(512), 4, LANE)
+
+
+def fir_overlap_save_stream(
+    x,
+    h,
+    *,
+    off: int = 0,
+    out_len: int | None = None,
+    r_windows: int | None = None,
+    interpret: bool | None = None,
+    out_u8: bool = False,
+) -> jax.Array:
+    """Float32 same-mode FIR via the r5 zero-copy stream kernel.
+
+    ``out[q] = same_mode_fir(x, h)[q + off]`` for ``q < out_len``
+    (default ``x.shape[1] - off``), zero-pad semantics outside the
+    input.  No framing, padding, or slicing pass ever touches HBM —
+    the kernel reads the raw stream and writes the valid output
+    directly (see the module-section comment for the alignment math).
+    """
+    h64 = np.asarray(h, np.float64)
+    num_taps = int(h64.size)
+    if not stream_kernel_supported(num_taps, off):
+        raise ValueError(
+            f"stream kernel unsupported for num_taps={num_taps}, "
+            f"off={off} (need L <= 257 and the d-gate, see "
+            "stream_kernel_supported); use fir_overlap_save_pallas")
+    interpret = _use_interpret() if interpret is None else interpret
+    x = jnp.asarray(x)
+    if x.dtype != jnp.uint8:
+        x = x.astype(jnp.float32)
+    channels, tx = x.shape
+    out_len = tx - off if out_len is None else out_len
+    if out_len < 1 or off < 0:
+        raise ValueError(f"invalid off={off} / out_len={out_len}")
+    r_n = _stream_r_windows(channels) if r_windows is None else r_windows
+    tables = _stream_tables(h64, num_taps, off)
+    tables = {k: jnp.asarray(v) for k, v in tables.items()}
+    return _osfilt_stream(x, tables, num_taps, off, out_len, r_n,
+                          interpret, out_u8)
+
+
+# ---------------------------------------------------------------------------
 # Host wrappers
 # ---------------------------------------------------------------------------
 
@@ -715,7 +943,7 @@ def _osfilt_natural(segments, hc, hs, tables, nfft, block_rows, interpret,
             out_shape=jax.ShapeDtypeStruct((b_pad, nfft), out_dtype),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024,
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
         )(*mats, segments)
     mats = [tables["f1c"], tables["f1s"], tcr, tsr,
@@ -735,16 +963,18 @@ def _osfilt_natural(segments, hc, hs, tables, nfft, block_rows, interpret,
         out_shape=jax.ShapeDtypeStruct((b_pad, nfft), out_dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*mats, segments)
 
 
-def _osfilt_segments(x, num_taps: int, nfft: int):
+def _osfilt_segments(x, num_taps: int, nfft: int,
+                     block_rows: int | None = None):
     """Frame a (C, T) stream into padded overlap-save segments.
 
     Keeps the input dtype (uint8 frames move 4× less HBM traffic than
-    pre-widened floats; the kernel widens in VMEM).
+    pre-widened floats; the kernel widens in VMEM).  ``block_rows``
+    overrides the VMEM-budget auto choice (r5 granularity experiments).
     """
     from warmup_fir_filter_tpu.ops.fftfilt import frame_overlap
 
@@ -759,7 +989,8 @@ def _osfilt_segments(x, num_taps: int, nfft: int):
         channels * num_blocks, nfft
     )
     batch = channels * num_blocks
-    block_rows = _auto_block_rows(nfft, batch)
+    if block_rows is None:
+        block_rows = _auto_block_rows(nfft, batch)
     b_pad = _round_up(batch, block_rows)
     segments = jnp.pad(segments, ((0, b_pad - batch), (0, 0)))
     return segments, batch, block_rows, step, num_blocks
@@ -782,6 +1013,7 @@ def fir_overlap_save_pallas(
     *,
     nfft: int | None = None,
     interpret: bool | None = None,
+    block_rows: int | None = None,
 ) -> jax.Array:
     """Float32 same-mode FIR via the fused Pallas overlap-save kernel.
 
@@ -794,15 +1026,24 @@ def fir_overlap_save_pallas(
 
     h64 = np.asarray(h, np.float64)
     num_taps = int(h64.size)
+    auto_nfft = nfft is None
     nfft = pick_nfft(num_taps) if nfft is None else nfft
     _check_nfft_for_taps(nfft, num_taps)
     n1, n2 = factor_nfft(nfft)
     interpret = _use_interpret() if interpret is None else interpret
 
+    # r5 fast path: the zero-copy stream kernel (same SNR contract,
+    # ~5× the framed path on v5e — the framing passes WERE the
+    # bottleneck, docs/roofline.md).  Only when the caller did not pin
+    # a specific nfft (the stream kernel is a 512-point 4-step).
+    if (auto_nfft and block_rows is None
+            and stream_kernel_supported(num_taps)):
+        return fir_overlap_save_stream(x, h, interpret=interpret)
+
     x_f32 = jnp.asarray(x, jnp.float32)
     channels, time = x_f32.shape
     segments, batch, block_rows, step, num_blocks = _osfilt_segments(
-        x_f32, num_taps, nfft
+        x_f32, num_taps, nfft, block_rows
     )
     hc, hs = _osfilt_spectrum(h64, nfft)
     # numpy tables, folded + bf16-pre-split on the HOST (outside any
@@ -836,9 +1077,16 @@ def fir_overlap_save_quantized_pallas(x_u8, h, qformat=None, *,
     h_real = h_fixed / qformat.scale
 
     num_taps = int(h_real.size)
+    auto_nfft = nfft is None
     nfft = pick_nfft(num_taps) if nfft is None else nfft
     _check_nfft_for_taps(nfft, num_taps)
     interpret = _use_interpret() if interpret is None else interpret
+
+    if auto_nfft and stream_kernel_supported(num_taps):
+        # r5: zero-copy stream kernel with the fused u8 output stage.
+        return fir_overlap_save_stream(
+            jnp.asarray(x_u8, jnp.uint8), h_real, interpret=interpret,
+            out_u8=True)
 
     # End-to-end uint8: frames stay u8 into the kernel (widened in VMEM)
     # and the round-half-up/saturate output stage is fused in-kernel, so

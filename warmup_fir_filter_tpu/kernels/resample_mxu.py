@@ -436,11 +436,12 @@ def resample_poly_mxu(
     # (first_read + K − ds ≤ 128) — true for every J ≲ 100-tap branch;
     # longer branches fall back to the windowed path below.
     #
-    # r4 block geometry: superblocks sized to ~WIDE_SEG_TILES input
-    # lane tiles (16 MB DMA blocks at 32 rows — the 556 GB/s block
-    # size, docs/roofline.md "f32 streaming wall"), processed by the
-    # capped-unroll chunk kernel with ``up | unroll`` so chunk strides
-    # stay lane-tile aligned.
+    # Auto dispatch keeps the r3 geometry: ONE fully-unrolled chunk per
+    # superblock.  The capped-unroll/chunked body engages only under an
+    # explicit ``unroll=`` knob — the r4 ablation measured it SLOWER
+    # (304 vs 369 GB/s unrolled; >=16 MB blocks lose to 8 MB even for a
+    # bare copy, docs/roofline.md "f32 streaming wall"), so bigger
+    # multi-chunk superblocks are never the default.
     from warmup_fir_filter_tpu.kernels.fir_float_mxu import (
         WIDE_SEG_TILES,
         WIDE_UNROLL_TILES,
@@ -453,8 +454,11 @@ def resample_poly_mxu(
                   else unroll)
     chunk_in_tiles = unroll_out * down // up
     out_tiles_needed = -(-out_len // (unroll_out * LANE))
-    n_chunks = max(1, min(WIDE_SEG_TILES // max(chunk_in_tiles, 1),
-                          out_tiles_needed))
+    if unroll is None:
+        n_chunks = 1
+    else:
+        n_chunks = max(1, min(WIDE_SEG_TILES // max(chunk_in_tiles, 1),
+                              out_tiles_needed))
     tiles_per_seg = unroll_out * n_chunks
     seg_out_w = tiles_per_seg * LANE
     seg_in_w = tiles_per_seg * ds

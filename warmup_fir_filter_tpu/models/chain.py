@@ -58,6 +58,12 @@ def chain_forward(re, im, config: ChainConfig = ChainConfig()) -> jax.Array:
 
     # r4 fast path: the whole chain in one Pallas pass (auto on TPU).
     backend = config.channelizer_backend
+    if backend == "fused" and not config.use_fft_channelizer:
+        # A forced 'fused' request must not silently fall through to the
+        # staged jnp ideal channelizer (ADVICE r4).
+        raise ValueError(
+            "channelizer_backend='fused' requires use_fft_channelizer=True "
+            "(the fused kernel implements the FFT-channelizer contract)")
     if backend in ("auto", "fused") and config.use_fft_channelizer:
         from warmup_fir_filter_tpu.kernels.chain_fused import (
             chain_forward_fused,

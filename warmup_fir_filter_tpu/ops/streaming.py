@@ -153,6 +153,97 @@ def _stream_step_mxu(x_i32, carry_i32, h, qformat, num_taps):
     return y[:, left : left + x_i32.shape[1]], new_carry
 
 
+def auto_rows_split(channels: int, width: int, num_taps: int) -> int:
+    """Largest row split R (R | width) keeping the MXU band kernel fed.
+
+    A streaming block arrives as (C, S) with C ≈ 16 rows — the wide
+    band kernels are *grid-starved* at that row count (every MXU dot
+    streams ≤ C rows against its 128-row fill; measured ~100× below
+    the one-shot headline, ``BENCH_STREAMING_r04.json`` vs
+    ``BENCH_r04.json``).  Splitting each row into R sub-rows with
+    (L−1)-sample intra-block halos (the same halo = carry = resume
+    state mechanism used everywhere else) re-shapes the block to
+    (C·R, S/R) — row-rich, exactly the geometry the one-shot headline
+    runs — at the cost of one framing pass.  R must divide S so
+    sub-rows tile exactly; target ≲4096 total rows and keep sub-rows
+    long enough (≥ max(512, 4·L)) that halo overhead stays ≪ 1%.
+    """
+    min_width = max(512, 4 * num_taps)
+    cap = min(width, 4096 // max(channels, 1))
+    for r in range(cap, 1, -1):
+        if width % r == 0 and width // r >= min_width:
+            return r
+    return 1
+
+
+def _stream_step_mxu_wide(x_i32, carry_i32, h, qformat, num_taps,
+                          rows_split):
+    """Row-split MXU streaming step — bit-identical to
+    :func:`_stream_step` (r5, VERDICT r4 task 4).
+
+    The carry-extended block (C, S+L−1) is framed gather-free into
+    (C·R, S/R+L−1) overlapping windows whose margins carry the true
+    neighbor samples, run through the same-mode MXU kernel, and the
+    interior columns — which by the pre-halo argument equal the global
+    outputs — are re-assembled with a pure reshape (window row order
+    is (channel-major, sub-row-minor), so no transpose).
+    """
+    from warmup_fir_filter_tpu.kernels.dispatch import fir1d_fixed_rows_auto
+    from warmup_fir_filter_tpu.ops.fftfilt import frame_overlap
+
+    channels, width = x_i32.shape
+    assert width % rows_split == 0
+    sub = width // rows_split
+    center = num_taps // 2
+    left = num_taps - 1 - center
+    if num_taps > 1:
+        ext = jnp.concatenate([carry_i32, x_i32], axis=1)
+        new_carry = ext[:, -(num_taps - 1):]
+    else:
+        ext = x_i32
+        new_carry = carry_i32
+    win = sub + num_taps - 1
+    frames = frame_overlap(ext, win, sub, rows_split)
+    frames = frames.reshape(channels * rows_split, win)
+    y = fir1d_fixed_rows_auto(frames.astype(jnp.uint8), h, qformat)
+    y = y[:, left : left + sub]
+    return y.reshape(channels, width), new_carry
+
+
+def default_emit_checksums(y):
+    """Order-sensitive block checksums: three uint32 sums.
+
+    ``[Σy, Σ y·w, Σ y·(w·φ)]`` with ``w = 1..S`` and ``φ`` an odd
+    (bijective mod 2³²) Weyl constant, all accumulated **mod 2³²**
+    (full 64-bit sums would need x64, disabled by default; two
+    independent weighted residues give ~2⁻⁶⁴ combined collision odds
+    for the resume/bit-identity gates — ADVICE r4).  The host-side
+    mirror formula is ``(y·w).sum() % 2**32`` in any wider dtype.
+    """
+    yu = y.astype(jnp.uint32)
+    w = jax.lax.broadcasted_iota(jnp.uint32, y.shape, y.ndim - 1) \
+        + jnp.uint32(1)
+    return jnp.stack([
+        jnp.sum(yu),
+        jnp.sum(yu * w),
+        jnp.sum(yu * (w * jnp.uint32(2654435761))),
+    ])
+
+
+def host_emit_checksums(y) -> np.ndarray:
+    """Numpy mirror of :func:`default_emit_checksums` (uint64 values
+    of the three uint32 residues) for host-side cross-checks."""
+    yu = np.asarray(y, np.uint64)
+    w = np.arange(1, yu.shape[-1] + 1, dtype=np.uint64)
+    mod = np.uint64(1) << np.uint64(32)
+    w2 = (w * np.uint64(2654435761)) % mod
+    return np.array([
+        yu.sum() % mod,
+        (yu * w).sum() % mod,
+        (yu * w2).sum() % mod,
+    ], np.uint64)
+
+
 def stream_scanned(
     stream: "Fir1DStream",
     block_fn,
@@ -160,6 +251,7 @@ def stream_scanned(
     *,
     emit_fn=None,
     start_block: int = 0,
+    rows_split: int | None = None,
 ):
     """Run ``num_blocks`` streaming steps in ONE device program.
 
@@ -171,8 +263,16 @@ def stream_scanned(
     block ``b`` IN-GRAPH (e.g. a synthetic generator, or a
     ``dynamic_slice`` of a device-resident buffer), the delay-line
     carry stays on device for the whole scan, and only
-    ``emit_fn(y_block)`` (default: a pair of int64 checksums) returns
-    per block — so a multi-billion-sample stream runs at kernel speed.
+    ``emit_fn(y_block)`` (default: :func:`default_emit_checksums`,
+    three uint32 residues mod 2³²) returns per block — so a
+    multi-billion-sample stream runs at kernel speed.
+
+    ``rows_split`` re-shapes each (C, S) block to (C·R, S/R) with
+    intra-block halos before the MXU kernel (``_stream_step_mxu_wide``)
+    so the band kernel is not grid-starved at C rows; ``None`` picks
+    :func:`auto_rows_split` on TPU (identity elsewhere), ``1`` forces
+    the unsplit geometry.  The emitted blocks and the checkpoint state
+    are bit-identical across every ``rows_split``.
 
     The stream's checkpointable state is updated exactly as if the
     blocks had been fed one by one: resuming a second ``stream_scanned``
@@ -182,10 +282,7 @@ def stream_scanned(
     Returns the stacked ``emit_fn`` outputs (leading axis num_blocks).
     """
     if emit_fn is None:
-        def emit_fn(y):  # default: order-sensitive + plain checksums
-            y64 = y.astype(jnp.int64)
-            w = jnp.arange(1, y.shape[-1] + 1, dtype=jnp.int64)
-            return jnp.stack([jnp.sum(y64), jnp.sum(y64 * w)])
+        emit_fn = default_emit_checksums
 
     num_taps = stream.num_taps
     frac_bits = stream.qformat.frac_bits
@@ -195,12 +292,22 @@ def stream_scanned(
     # contract, see _stream_step_mxu); elsewhere the jnp i32 core.
     use_mxu = jax.default_backend() == "tpu"
     h_raw = stream._h_raw
+    if rows_split is None:
+        if use_mxu:
+            probe = jax.eval_shape(block_fn, jnp.int32(0))
+            rows_split = auto_rows_split(
+                int(probe.shape[0]), int(probe.shape[-1]), num_taps)
+        else:
+            rows_split = 1
 
     @partial(jax.jit, static_argnames=())
     def _run(carry0, h_i32, b0):
         def body(carry, b):
             x = jnp.asarray(block_fn(b), jnp.int32)
-            if use_mxu:
+            if use_mxu and rows_split > 1:
+                y, carry = _stream_step_mxu_wide(
+                    x, carry, h_raw, stream.qformat, num_taps, rows_split)
+            elif use_mxu:
                 y, carry = _stream_step_mxu(
                     x, carry, h_raw, stream.qformat, num_taps)
             else:

@@ -64,16 +64,26 @@ def make_overlap_save_step(
             _dft_tables,
             _osfilt_fold_tables,
             _osfilt_spectrum,
+            _stream_tables,
             _use_interpret,
             factor_nfft,
+            stream_kernel_supported,
         )
 
         # The filter spectrum and DFT tables are real planes (no complex
         # transfer), replicated across the mesh.  Folded + bf16-pre-split
         # on the host (r4) — must happen before the shard_map trace.
-        hc, hs = _osfilt_spectrum(h64, nfft)
-        tables = _osfilt_fold_tables(hc, hs, _dft_tables(nfft),
-                                     *factor_nfft(nfft))
+        # r5: when the zero-copy stream kernel supports (L, off=left_w),
+        # each shard runs it directly on its halo-extended block — the
+        # ``off`` contract emits the block interior with no framing,
+        # padding, or slicing pass (5× on v5e, docs/roofline.md).
+        use_stream = stream_kernel_supported(num_taps, left_w)
+        if use_stream:
+            stream_tables = _stream_tables(h64, num_taps, left_w)
+        else:
+            hc, hs = _osfilt_spectrum(h64, nfft)
+            tables = _osfilt_fold_tables(hc, hs, _dft_tables(nfft),
+                                         *factor_nfft(nfft))
         interpret = _use_interpret()
 
     def _local_filter(segments, h_f32):
@@ -120,6 +130,16 @@ def make_overlap_save_step(
                 y_loc, axis_name=time_axis, left_width=left_w,
                 right_width=right_w,
             )
+            if backend == "pallas" and use_stream:
+                from warmup_fir_filter_tpu.kernels.fft_pallas import (
+                    _osfilt_stream,
+                    _stream_r_windows,
+                )
+
+                t = {k: jnp.asarray(v) for k, v in stream_tables.items()}
+                return _osfilt_stream(
+                    x_ext, t, num_taps, left_w, local_time,
+                    _stream_r_windows(y_loc.shape[0]), interpret)
             # Local overlap-save over the extended block: segment b
             # covers ext indices [b·step, b·step + nfft); local output t
             # lives at ext index t + left_w, and y[t] needs

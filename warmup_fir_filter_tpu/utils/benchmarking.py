@@ -85,14 +85,21 @@ def chained_throughput(
         )
         last_times = times
 
-    per_apply = min(s for s in slopes if s > 0) if any(
-        s > 0 for s in slopes) else slopes[0]
+    positive = [s for s in slopes if s > 0]
+    per_apply = min(positive) if positive else slopes[0]
+    med = float(np.median(positive)) if positive else slopes[0]
     num_samples = 1
     for dim in x_dev.shape:
         num_samples *= dim
     return {
+        # Headline = best-of-N sweeps (labelled; ADVICE r4): cross-round
+        # comparisons against pre-r4 single-sweep artifacts should use
+        # the median fields, which are unbiased by the best-of switch.
         "seconds_per_apply": per_apply,
         "samples_per_second": num_samples / per_apply if per_apply > 0 else 0.0,
+        "seconds_per_apply_median": med,
+        "samples_per_second_median": num_samples / med if med > 0 else 0.0,
+        "best_of": max(1, best_of),
         "times": last_times,
         "slopes": slopes,
         "num_samples": num_samples,
