@@ -298,7 +298,10 @@ def _chain_throughput(cfg, scale) -> dict:
             @jax.jit
             def run(*xs):
                 def body(i, acc):
-                    out = fn(xs[0] + 1e-6 * i.astype(jnp.float32), *xs[1:])
+                    # dtype-preserving perturbation (bf16 inputs must
+                    # not be silently promoted to f32 by the harness)
+                    eps = (1e-6 * i.astype(jnp.float32)).astype(xs[0].dtype)
+                    out = fn(xs[0] + eps, *xs[1:])
                     return acc + out.ravel()[:8]
                 return lax.fori_loop(0, k, body, jnp.zeros(8, jnp.float32))
             return run
@@ -381,6 +384,44 @@ def _chain_throughput(cfg, scale) -> dict:
         # is portable).
         wall_s = fused_bytes / (F32_WALL_GBPS_V5E * 1e9)
         out["chain_f32_wall_fraction"] = round(wall_s / t_chain, 3)
+        # r5 opt-in bf16 STORAGE mode (VERDICT r4 task 2): bf16 I/Q in
+        # HBM + bf16 scratch + single-pass band dots.  Recorded WITH its
+        # SNR vs the f32 default on a constant-envelope FM signal
+        # (random I/Q is the demod's worst case and not representative).
+        from warmup_fir_filter_tpu.kernels.chain_fused import (
+            chain_forward_fused,
+        )
+        from warmup_fir_filter_tpu.ops.demod import fm_modulate
+        from warmup_fir_filter_tpu.ops.fftfilt import (
+            fir_overlap_save,
+            snr_db,
+        )
+        from warmup_fir_filter_tpu.ops.resample import design_lowpass
+
+        re_b = jax.device_put(jnp.asarray(re, jnp.bfloat16))
+        im_b = jax.device_put(jnp.asarray(im, jnp.bfloat16))
+        t_b16 = timed(
+            lambda r, i: chain_forward_fused(
+                r, i, h_rs, h_ch, cfg.resample_up, cfg.resample_down,
+                cfg.demod_k_f, precision="bf16"),
+            (re_b, im_b))
+        msg = np.array(fir_overlap_save(
+            rng.standard_normal((8, 100_000)).astype(np.float32),
+            design_lowpass(63, 0.05)), np.float32)
+        msg = msg / np.abs(msg).max()
+        re_fm, im_fm = fm_modulate(msg, cfg.demod_k_f)
+        ref_fm = np.asarray(chain_forward(
+            np.asarray(re_fm, np.float32), np.asarray(im_fm, np.float32),
+            cfg), np.float64)
+        got_fm = np.asarray(chain_forward_fused(
+            np.asarray(re_fm, np.float32), np.asarray(im_fm, np.float32),
+            h_rs, h_ch, cfg.resample_up, cfg.resample_down,
+            cfg.demod_k_f, precision="bf16"), np.float64)
+        out["chain_bf16_mode"] = {
+            "msps": round(n_in / t_b16 / 1e6, 1),
+            "snr_vs_f32_chain_db": round(float(snr_db(ref_fm, got_fm)), 1),
+            "note": "opt-in precision='bf16' storage mode",
+        }
     return out
 
 

@@ -132,3 +132,89 @@ def test_chain_unknown_channelizer_backend_rejected(rng):
             np.zeros((1, 4000), np.float32),
             ChainConfig(channelizer_backend="cuda"),
         )
+
+
+class TestTimeShardedFusedChain:
+    """r5: the fused chain sharded along TIME (models/chain.py,
+    chain_forward_time_sharded) must be BIT-identical to the
+    single-device fused run — including at both stream edges, where the
+    kernel's dynamic resampled-space window (rs_bounds) places the
+    zero-pad exactly where the unsharded run does."""
+
+    def test_bit_equal_vs_single_device(self, rng, require_devices):
+        from warmup_fir_filter_tpu.kernels.chain_fused import (
+            chain_forward_fused,
+        )
+        from warmup_fir_filter_tpu.models.chain import (
+            chain_forward_time_sharded,
+        )
+
+        mesh = make_mesh({"data": 1, "time": 2},
+                         devices=require_devices(2))
+        cfg = ChainConfig()
+        channels, t_local = 8, 12288   # out_ext 10240 → 2 programs/shard
+        time = t_local * 2
+        re = rng.standard_normal((channels, time)).astype(np.float32)
+        im = rng.standard_normal((channels, time)).astype(np.float32)
+        single = np.asarray(chain_forward_fused(
+            re, im, cfg.resample_filter(), cfg.channelizer_filter(),
+            cfg.resample_up, cfg.resample_down, cfg.demod_k_f,
+            interpret=True))
+        sharded = np.asarray(chain_forward_time_sharded(
+            re, im, cfg, mesh=mesh))
+        np.testing.assert_array_equal(sharded, single)
+
+    def test_alignment_constraints_rejected(self, rng, require_devices):
+        from warmup_fir_filter_tpu.models.chain import (
+            chain_forward_time_sharded,
+        )
+
+        mesh = make_mesh({"data": 1, "time": 2},
+                         devices=require_devices(2))
+        bad = np.zeros((8, 2 * 12289), np.float32)  # T_local % down != 0
+        with pytest.raises(ValueError, match="T_local"):
+            chain_forward_time_sharded(bad, bad, ChainConfig(), mesh=mesh)
+
+
+class TestChainBf16Mode:
+    """r5 opt-in bf16 STORAGE mode of the fused chain: half the
+    input/scratch bytes, single-pass band dots, SNR-gated."""
+
+    def test_snr_on_fm_signal(self, rng):
+        from warmup_fir_filter_tpu.kernels.chain_fused import (
+            chain_forward_fused,
+        )
+        from warmup_fir_filter_tpu.ops.fftfilt import (
+            fir_overlap_save,
+            snr_db,
+        )
+        from warmup_fir_filter_tpu.ops.resample import design_lowpass
+
+        cfg = ChainConfig()
+        msg = rng.standard_normal((8, 40_000)).astype(np.float32)
+        msg = np.array(fir_overlap_save(msg, design_lowpass(63, 0.05)),
+                       np.float32)
+        msg = msg / np.abs(msg).max()
+        re, im = fm_modulate(msg, cfg.demod_k_f)
+        re = np.asarray(re, np.float32)
+        im = np.asarray(im, np.float32)
+        args = (cfg.resample_filter(), cfg.channelizer_filter(),
+                cfg.resample_up, cfg.resample_down, cfg.demod_k_f)
+        ref = np.asarray(chain_forward_fused(
+            re, im, *args, interpret=True), np.float64)
+        got = np.asarray(chain_forward_fused(
+            re, im, *args, precision="bf16", interpret=True), np.float64)
+        # measured ~53 dB on v5e and in interpret mode; gate with margin
+        assert float(snr_db(ref, got)) > 40.0
+
+    def test_unknown_precision_rejected(self):
+        from warmup_fir_filter_tpu.kernels.chain_fused import (
+            chain_forward_fused,
+        )
+
+        cfg = ChainConfig()
+        x = np.zeros((8, 3000), np.float32)
+        with pytest.raises(ValueError, match="precision"):
+            chain_forward_fused(
+                x, x, cfg.resample_filter(), cfg.channelizer_filter(),
+                2, 3, cfg.demod_k_f, precision="fp8")

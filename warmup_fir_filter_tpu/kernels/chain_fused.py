@@ -131,6 +131,7 @@ def atan2_poly(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _chain_fused_kernel(
+    rs_bounds_ref,  # SMEM (2,) i32: valid [lo, hi) window in rs space
     # Band operands (hi then lo planes; lo are dummies for "highest").
     rs_hi_ref, rs_lo_ref,          # (K, 128) resample band
     chp_hi_ref, chc_hi_ref, chn_hi_ref,   # channelizer tri-band hi
@@ -150,16 +151,18 @@ def _chain_fused_kernel(
     channels: int,
     seg_tiles: int,
     inv_gain: float,
-    bf16x3: bool,
+    precision: str,
     opt: str = "base",
     fold: int = 1,
 ):
+    bf16x3 = precision == "bf16x3"
+    pure_bf16 = precision == "bf16"
     c = pl.program_id(0)
     rows0 = xm_ref.shape[0]
     seg_in = xm_ref.shape[1] // fold
     halo = xl_ref.shape[1]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    if not bf16x3:
+    if precision == "highest":
         dot = functools.partial(dot, precision=jax.lax.Precision.HIGHEST)
 
     # --- assemble the extended input window (stream edges zeroed) ---
@@ -178,14 +181,15 @@ def _chain_fused_kernel(
     # real hardware (docs/roofline.md).
     do_masks = opt != "no_masks"
     x = xm_ref[:]
+    zero = jnp.zeros((), x.dtype)  # dtype-safe (bf16 storage mode)
     if do_masks:
         col_abs = c * fold * seg_in + jax.lax.broadcasted_iota(
             jnp.int32, (1, fold * seg_in), 1)
-        x = jnp.where(col_abs < n, x, jnp.float32(0.0))
-        lt = jnp.where(c == 0, jnp.float32(0.0), xl_ref[:])
+        x = jnp.where(col_abs < n, x, zero)
+        lt = jnp.where(c == 0, zero, xl_ref[:])
         rt_abs = (c + 1) * fold * seg_in + jax.lax.broadcasted_iota(
             jnp.int32, (1, halo), 1)
-        rt = jnp.where(rt_abs < n, xr_ref[:], jnp.float32(0.0))
+        rt = jnp.where(rt_abs < n, xr_ref[:], zero)
     else:
         lt, rt = xl_ref[:], xr_ref[:]
     x_all = jnp.concatenate([lt, x, rt], axis=1)
@@ -225,6 +229,10 @@ def _chain_fused_kernel(
         xh, xlo = _split_bf16(x_ext)
         xst = jnp.concatenate([xh, xlo], axis=0) if stacked else None
     else:
+        # "highest": f32 operand; "bf16": the operand arrives ALREADY
+        # bf16 from HBM (half the input traffic, one single-pass dot
+        # per band, no splits) — the storage mode VERDICT r4 task 2
+        # names as the only untried chain lever.
         xh, xlo, xst = x_ext, None, None
 
     # --- stage 1: resample tiles q ∈ [-2, seg_tiles+1) into scratch ---
@@ -246,12 +254,22 @@ def _chain_fused_kernel(
                   + f_of_row * seg_tiles * LANE
                   + jax.lax.broadcasted_iota(
                       jnp.int32, (rs.shape[0], rs.shape[1]), 1))
-        rs = jnp.where((rs_abs >= 0) & (rs_abs < out_len), rs,
+        # Valid window in RESAMPLED space.  Defaults to [0, out_len)
+        # (the same-mode zero-pad of the resampled stream); the
+        # time-sharded path passes the GLOBAL window in local ext
+        # coordinates so shard-edge blocks zero-pad exactly where the
+        # single-device run does (models/chain.py,
+        # chain_forward_time_sharded).
+        rs = jnp.where((rs_abs >= rs_bounds_ref[0])
+                       & (rs_abs < rs_bounds_ref[1]), rs,
                        jnp.float32(0.0))
 
     if bf16x3:
         rh, rl = _split_bf16(rs)
         rst = jnp.concatenate([rh, rl], axis=0) if stacked else None
+    elif pure_bf16:
+        # bf16 scratch: half the stage-2 operand bytes, single-pass dots
+        rh, rl, rst = rs.astype(jnp.bfloat16), None, None
     else:
         rh, rl, rst = rs, None, None
     merge = bool(ch_left) and bool(ch_center) and ch_left + ch_center <= LANE
@@ -310,10 +328,11 @@ def _chain_fused_kernel(
     jax.jit,
     static_argnames=("ds", "k_rows", "first_read", "ch_left", "ch_center",
                      "out_len", "channels", "seg_tiles", "inv_gain",
-                     "bf16x3", "interpret", "opt", "fold", "halo_tiles"),
+                     "precision", "interpret", "opt", "fold", "halo_tiles"),
 )
 def _chain_fused(
     x,            # (2C, T) stacked I/Q rows
+    rs_bounds,    # (2,) i32 valid rs-space window [lo, hi)
     rs_planes,    # (rs_hi, rs_lo)
     ch_planes,    # (p_hi, c_hi, n_hi, p_lo, c_lo, n_lo)
     ds: int,
@@ -325,7 +344,7 @@ def _chain_fused(
     channels: int,
     seg_tiles: int,
     inv_gain: float,
-    bf16x3: bool,
+    precision: str,
     interpret: bool,
     opt: str = "base",
     fold: int = 1,
@@ -351,14 +370,15 @@ def _chain_fused(
     band_spec = lambda a: pl.BlockSpec(  # noqa: E731
         a.shape, lambda c: (0, 0), memory_space=pltpu.VMEM)
     operands = list(rs_planes) + list(ch_planes)
+    bounds_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         functools.partial(
             _chain_fused_kernel, ds=ds, k_rows=k_rows,
             first_read=first_read, ch_left=ch_left, ch_center=ch_center,
             n=n, out_len=out_len, channels=channels, seg_tiles=seg_tiles,
-            inv_gain=inv_gain, bf16x3=bf16x3, opt=opt, fold=fold),
+            inv_gain=inv_gain, precision=precision, opt=opt, fold=fold),
         grid=(grid_cols,),
-        in_specs=[band_spec(a) for a in operands] + [
+        in_specs=[bounds_spec] + [band_spec(a) for a in operands] + [
             main_spec, left_spec, right_spec],
         out_specs=pl.BlockSpec((channels, fold * seg_out),
                                lambda c: (0, c),
@@ -368,7 +388,7 @@ def _chain_fused(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(*operands, x, x, x)
+    )(rs_bounds, *operands, x, x, x)
 
 
 def chain_fused_supported(
@@ -407,6 +427,7 @@ def chain_forward_fused(
     seg_tiles: int = FUSED_SEG_TILES,
     opt: str = "base",
     fold: int = FUSED_FOLD,
+    rs_bounds=None,
 ) -> jax.Array:
     """Run the fused chain on (C, T) I/Q rows → (C, T') message rows.
 
@@ -415,12 +436,13 @@ def chain_forward_fused(
     when ``chain_fused_supported`` holds; callers fall back to the
     staged path otherwise.
     """
-    if precision not in ("bf16x3", "highest"):
+    if precision not in ("bf16x3", "highest", "bf16"):
         raise ValueError(f"unknown precision {precision!r}")
     if k_f <= 0:
         raise ValueError(f"k_f={k_f} must be > 0")
-    re = jnp.asarray(re, jnp.float32)
-    im = jnp.asarray(im, jnp.float32)
+    in_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    re = jnp.asarray(re, in_dtype)
+    im = jnp.asarray(im, in_dtype)
     if re.shape != im.shape or re.ndim != 2:
         raise ValueError(f"re/im must be matching (C, T) rows, got "
                          f"{re.shape} vs {im.shape}")
@@ -450,6 +472,10 @@ def chain_forward_fused(
         arr = jnp.asarray(arr, jnp.float32)
         if bf16x3:
             return _split_bf16(arr)
+        if precision == "bf16":
+            # single bf16 plane; the lo operand is an unused dummy
+            hi = arr.astype(jnp.bfloat16)
+            return hi, jnp.zeros_like(hi)
         return arr, jnp.zeros_like(arr)
 
     rs_hi, rs_lo = split(a)
@@ -457,14 +483,20 @@ def chain_forward_fused(
     chc_hi, chc_lo = split(ac)
     chn_hi, chn_lo = split(an)
 
+    # bf16 STORAGE end-to-end ("bf16"): the kernel reads half the input
+    # bytes; callers holding I/Q in bf16 pay no cast at all.
     x = jnp.concatenate([re, im], axis=0)
     interp = (jax.default_backend() != "tpu") if interpret is None \
         else interpret
+    if rs_bounds is None:
+        rs_bounds = jnp.array([0, out_len], jnp.int32)
+    else:
+        rs_bounds = jnp.asarray(rs_bounds, jnp.int32)
     return _chain_fused(
-        x, (rs_hi, rs_lo),
+        x, rs_bounds, (rs_hi, rs_lo),
         (chp_hi, chc_hi, chn_hi, chp_lo, chc_lo, chn_lo),
         ds, k_rows, first_read, ch_left, ch_center, out_len, channels,
-        seg_tiles, float(1.0 / (2.0 * np.pi * k_f)), bf16x3, interp,
+        seg_tiles, float(1.0 / (2.0 * np.pi * k_f)), precision, interp,
         opt=opt,
         fold=max(1, min(fold, 128 // (2 * channels),
                         -(-out_len // (seg_tiles * LANE)))),

@@ -173,3 +173,110 @@ def chain_forward_sharded(
         return chain_forward(re_in, im_in, config)
 
     return jax.jit(_run)(re_s, im_s)
+
+
+def chain_forward_time_sharded(
+    re,
+    im,
+    config: ChainConfig = ChainConfig(),
+    *,
+    mesh: Mesh,
+    time_axis: str = "time",
+    channel_axis: str | None = None,
+    halo_mult: int = 4,
+) -> jax.Array:
+    """FUSED chain sharded along TIME (r5, VERDICT r4 task 5).
+
+    Each shard halo-extends its input block by ``H_in = 128·down·
+    halo_mult`` samples per side over ICI (``exchange_halo_1d``; zeros
+    at the stream ends — identical to the kernel's own zero-pad), runs
+    ``chain_forward_fused`` on the extended block, and keeps the
+    interior ``H_out = 128·up·halo_mult`` onward.  Because the fused
+    kernel's band matrices are lane-tile-periodic and both H_in and the
+    per-shard lengths are tile- and phase-aligned (constraints below),
+    every retained output is computed from the *same operand windows in
+    the same order* as the single-device run — the result is
+    BIT-IDENTICAL, not merely close (asserted in tests and the dryrun).
+
+    Constraints: ``T % n_shards == 0``; the local length must keep the
+    polyphase phase (``T_local % down == 0``) and the output tile grid
+    (``T_local·up/down % 128 == 0``) aligned across shards.
+    ``channel_axis`` optionally shards channels too (row-local, exact).
+    """
+    from jax import lax
+
+    from warmup_fir_filter_tpu.kernels.chain_fused import (
+        build_resample_band,
+        chain_fused_supported,
+        chain_forward_fused,
+    )
+    from warmup_fir_filter_tpu.parallel.halo import exchange_halo_1d
+
+    up, down = config.resample_up, config.resample_down
+    h_rs = config.resample_filter()
+    h_ch = config.channelizer_filter()
+    re = jnp.asarray(re, jnp.float32)
+    im = jnp.asarray(im, jnp.float32)
+    channels, time = re.shape
+    n_t = mesh.shape[time_axis]
+    n_c = mesh.shape[channel_axis] if channel_axis else 1
+    if channels % max(n_c, 1) or time % n_t:
+        raise ValueError(
+            f"(C, T)=({channels}, {time}) not divisible by mesh "
+            f"({n_c}, {n_t})")
+    t_local = time // n_t
+    if t_local % down or (t_local * up // down) % 128:
+        raise ValueError(
+            f"T_local={t_local} must be divisible by down={down} with "
+            f"T_local·up/down a multiple of 128 (tile/phase alignment)")
+    if not chain_fused_supported(channels // max(n_c, 1), up, down,
+                                 h_rs.size, h_ch.size):
+        raise ValueError("config not supported by the fused chain kernel")
+    out_local = t_local * up // down
+    h_in = 128 * down * halo_mult
+    h_out = 128 * up * halo_mult
+
+    # Reach check: the first/last retained output tile must read only
+    # real (exchanged) samples, so the kernel's own edge zero-masks
+    # fire exclusively inside the discarded halo region.
+    _, k_rows, ds, beta0, j_count = build_resample_band(
+        np.asarray(h_rs, np.float64), up, down)
+    first_read = beta0 - (j_count - 1)
+    q_min = h_out // 128 - 2   # leftmost rs tile any retained output uses
+    q_max = (h_out + out_local) // 128 + 1   # rightmost (exclusive-ish)
+    ext_len = t_local + 2 * h_in
+    if q_min * ds + first_read < 0 or \
+            q_max * ds + first_read + k_rows > ext_len:
+        raise ValueError(
+            f"halo_mult={halo_mult} too small for this geometry "
+            f"(ds={ds}, k_rows={k_rows}, first_read={first_read})")
+
+    spec = P(channel_axis, time_axis)
+    sharding = NamedSharding(mesh, spec)
+    re_s = jax.device_put(re, sharding)
+    im_s = jax.device_put(im, sharding)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec),
+             out_specs=spec, check_vma=False)
+    def _run(re_l, im_l):
+        re_ext = exchange_halo_1d(re_l, axis_name=time_axis,
+                                  left_width=h_in, right_width=h_in)
+        im_ext = exchange_halo_1d(im_l, axis_name=time_axis,
+                                  left_width=h_in, right_width=h_in)
+        # Global resampled-space valid window in local ext coordinates:
+        # the kernel zero-pads the resampled stream exactly where the
+        # single-device run does (bit-equality at stream edges).
+        s_idx = jax.lax.axis_index(time_axis)
+        lo = h_out - s_idx * out_local
+        hi = h_out + out_local * n_t - s_idx * out_local
+        y_ext = chain_forward_fused(
+            re_ext, im_ext, h_rs, h_ch, up, down, config.demod_k_f,
+            rs_bounds=jnp.stack([lo, hi]))
+        y = lax.slice_in_dim(y_ext, h_out, h_out + out_local, axis=1)
+        # The global first sample has no predecessor → 0; on every
+        # other shard the true predecessor came in with the halo.
+        gpos = (jax.lax.axis_index(time_axis) * out_local
+                + jax.lax.broadcasted_iota(jnp.int32, y.shape, 1))
+        return jnp.where(gpos == 0, jnp.float32(0.0), y)
+
+    return jax.jit(_run)(re_s, im_s)
