@@ -156,6 +156,35 @@ def main() -> int:
                   "mismatch vs single-device", flush=True)
             return 1
 
+    # --- FUSED chain time-sharded ACROSS the process boundary (r5) ---
+    # The time axis spans both OS processes, so the fused kernel's
+    # input halos ride DCN-modeled collectives; bit-equality vs the
+    # single-device fused run is required (models/chain.py rs_bounds).
+    from warmup_fir_filter_tpu.kernels.chain_fused import (
+        chain_forward_fused,
+    )
+    from warmup_fir_filter_tpu.models.chain import (
+        chain_forward_time_sharded,
+    )
+
+    ts_cfg = ChainConfig()
+    ts_tl = 9600  # per-shard; out_ext 8448 → 2 kernel programs/shard
+    ts_re = rng.standard_normal((8, ts_tl * num_procs)).astype(np.float32)
+    ts_im = rng.standard_normal((8, ts_tl * num_procs)).astype(np.float32)
+    ts_mesh = make_mesh({"data": 2, "time": num_procs})
+    out_ts = chain_forward_time_sharded(ts_re, ts_im, ts_cfg,
+                                        mesh=ts_mesh)
+    expected_ts = np.asarray(chain_forward_fused(
+        ts_re, ts_im, ts_cfg.resample_filter(),
+        ts_cfg.channelizer_filter(), ts_cfg.resample_up,
+        ts_cfg.resample_down, ts_cfg.demod_k_f))
+    for shard in out_ts.addressable_shards:
+        if not np.array_equal(np.asarray(shard.data),
+                              expected_ts[shard.index]):
+            print(f"[FAIL] process {proc_id} time-sharded fused chain "
+                  f"shard {shard.index}: mismatch", flush=True)
+            return 1
+
     # --- 2-D corner-carrying halo FIR across the process boundary (r4) ---
     from warmup_fir_filter_tpu.ops.fir2d import (
         FILTER_BANK_2D,
@@ -177,7 +206,8 @@ def main() -> int:
     print(f"[OK] multihost worker process={proc_id} shards={checked} "
           "bit-exact (incl. cross-process halo ring); all_to_all "
           "roundtrip + psum metric reduction + data-parallel chain + "
-          "2-D corner halo crossed the process boundary", flush=True)
+          "time-sharded FUSED chain + 2-D corner halo crossed the "
+          "process boundary", flush=True)
     return 0
 
 
