@@ -58,6 +58,14 @@ MEASURED_WALL_MSPS = 326_000.0
 REFERENCE_MSPS_FALLBACK = 0.57
 
 BATCH, WIDTH = 19456, 8192  # ~159.4 Msamples, ≈160 MB in + 160 MB out
+#: r5 "--large" leg rows: ≈640 MB in + 640 MB out.  The repo's roofline
+#: table (docs/roofline.md "Measurements") shows larger working sets
+#: amortize fixed per-pass costs into the datasheet-fraction regime —
+#: the 640 MB row measured 331.3 Gsps = 0.809 of datasheet where the
+#: 160 MB row reads ~0.80±0.02.  Both legs are recorded: the 160 MB
+#: value answers "headline at the r1-r4 artifact shape", the large one
+#: answers the literal >0.80-of-datasheet BASELINE bar.
+BATCH_LARGE = 77824
 
 
 def _enable_compilation_cache() -> None:
@@ -224,6 +232,38 @@ def main() -> int:
                           "error": "no backend produced bit-exact output"}))
         sys.stdout.flush()
         return 1
+
+    # ---- r5 large-working-set leg (VERDICT r4 task 6) ----
+    # 640 MB in + 640 MB out: the regime where the measured rate
+    # crosses the literal 0.80-of-datasheet bar (docs/roofline.md).
+    # Best-effort INSIDE the one artifact line; a failure or a blown
+    # half-budget never costs the headline.
+    if headline["backend"] == "mxu" and \
+            time.perf_counter() - start < budget_s * 0.5:
+        try:
+            xl = rng.integers(0, 256, size=(BATCH_LARGE, WIDTH),
+                              dtype=np.uint8)
+            xl_dev = jax.device_put(jnp.asarray(xl))
+            del xl
+            res_l = chained_throughput(
+                lambda a: fir1d_fixed_rows_mxu(a, h), xl_dev,
+                repeats=3, best_of=3)
+            n_l = BATCH_LARGE * WIDTH
+            l_msps = n_l / res_l["seconds_per_apply"] / 1e6
+            headline.update({
+                "large_workload": (f"same kernel over {BATCH_LARGE}x"
+                                   f"{WIDTH} uint8 (~640 MB in)"),
+                "large_msps": round(l_msps, 1),
+                "large_sol_fraction": round(l_msps / sol_msps, 3),
+                "large_wall_fraction": round(
+                    l_msps / MEASURED_WALL_MSPS, 3),
+                "large_runs_msps": sorted(
+                    round(n_l / s / 1e6, 1)
+                    for s in res_l["slopes"] if s > 0),
+            })
+            del xl_dev
+        except Exception as exc:  # noqa: BLE001
+            headline["large_error"] = str(exc)[-200:]
 
     # THE artifact: one JSON line on stdout, flushed before anything else
     # can hang.  Everything after this point is best-effort diagnostics.

@@ -285,3 +285,88 @@ def test_fir2d_auto_dispatch_bit_exact(rng):
     np.testing.assert_array_equal(
         np.asarray(fir2d_fixed_auto(x, h)), fir2d_fixed_golden(x, h)
     )
+
+
+class TestReducedPlaneFormulations:
+    """r5 (VERDICT r4 task 3): the two reduced-digit-plane 2-D paths.
+
+    - bf16 per-tap-row kernel: PROVABLY bit-exact when
+      ``bf16_2d_exact`` holds (coefficients fit the 8-bit bf16
+      mantissa, worst-case accumulator < 2²⁴, no wrap) — true for
+      sharpen5 and gauss5; SNR-level otherwise.  Measured SLOWER than
+      the int8 digit kernel on v5e (bf16 MXU passes cost ~2× int8) —
+      kept as the proven-exact float formulation, never auto-dispatched.
+    - digit_mode="top": per-row top-digit rounding (one plane per row);
+      exact only for rows already fitting one digit.
+    """
+
+    def _roundtrip(self, fn, img, h, **kw):
+        from warmup_fir_filter_tpu.kernels.fir2d_mxu import (
+            crop_frame_overlap,
+            pad_frame_overlap,
+        )
+
+        tr, tc = np.asarray(h).shape
+        x_ext, (t0, hi, wi, br) = pad_frame_overlap(img, tr, tc)
+        out = fn(x_ext, h, core=(t0, hi, wi), block_rows=br, **kw)
+        return crop_frame_overlap(np.asarray(out), tc, (t0, hi, wi))
+
+    @pytest.mark.parametrize("name", ["sharpen5", "gauss5"])
+    def test_bf16_bit_exact_when_predicate_holds(self, rng, name):
+        from warmup_fir_filter_tpu.kernels.fir2d_mxu import (
+            bf16_2d_exact,
+            fir2d_frame_overlap_bf16,
+        )
+        from warmup_fir_filter_tpu.ops.qformat import QFormat
+
+        h = np.asarray(FILTER_BANK_2D[name])
+        qf = QFormat()
+        assert bf16_2d_exact(qf.quantize_coeffs(h).astype(np.int64), qf)
+        img = rng.integers(0, 256, size=(64, 200), dtype=np.uint8)
+        got = self._roundtrip(fir2d_frame_overlap_bf16, img, h)
+        np.testing.assert_array_equal(got, fir2d_fixed_golden(img, h))
+
+    def test_bf16_predicate_rejects_wide_mantissa(self):
+        from warmup_fir_filter_tpu.kernels.fir2d_mxu import bf16_2d_exact
+        from warmup_fir_filter_tpu.ops.qformat import QFormat
+
+        qf = QFormat()
+        h_fixed = QFormat().quantize_coeffs(
+            np.asarray(FILTER_BANK_2D["box3"])).astype(np.int64)
+        assert not bf16_2d_exact(h_fixed, qf)  # 455 needs 9 mantissa bits
+
+    def test_bf16_snr_gated_otherwise(self, rng):
+        from warmup_fir_filter_tpu.kernels.fir2d_mxu import (
+            fir2d_frame_overlap_bf16,
+        )
+        from warmup_fir_filter_tpu.ops.fftfilt import snr_db
+
+        h = np.asarray(FILTER_BANK_2D["box3"])
+        img = rng.integers(0, 256, size=(48, 160), dtype=np.uint8)
+        got = self._roundtrip(fir2d_frame_overlap_bf16, img, h)
+        golden = fir2d_fixed_golden(img, h).astype(np.float64)
+        assert float(snr_db(golden, got.astype(np.float64))) > 40.0
+
+    def test_top_digit_exact_for_single_digit_rows(self, rng):
+        from warmup_fir_filter_tpu.kernels.fir2d_mxu import (
+            fir2d_fixed_frame_overlap,
+        )
+
+        h = np.asarray(FILTER_BANK_2D["gauss5"])  # 1 digit/row already
+        img = rng.integers(0, 256, size=(40, 150), dtype=np.uint8)
+        got = self._roundtrip(fir2d_fixed_frame_overlap, img, h,
+                              digit_mode="top")
+        np.testing.assert_array_equal(got, fir2d_fixed_golden(img, h))
+
+    def test_unknown_digit_mode_rejected(self, rng):
+        from warmup_fir_filter_tpu.kernels.fir2d_mxu import (
+            fir2d_fixed_frame_overlap,
+            pad_frame_overlap,
+        )
+
+        img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        x_ext, (t0, hi, wi, br) = pad_frame_overlap(img, 5, 5)
+        with pytest.raises(ValueError, match="digit_mode"):
+            fir2d_fixed_frame_overlap(
+                x_ext, FILTER_BANK_2D["gauss5"], core=(t0, hi, wi),
+                block_rows=br, digit_mode="bottom")

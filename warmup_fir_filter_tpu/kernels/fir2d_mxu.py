@@ -338,10 +338,38 @@ def _fir2d_fullrow(
     )(*args)
 
 
-def _quantize_2d(h, qformat: QFormat):
+def _top_digit_round(h_fixed: np.ndarray) -> np.ndarray:
+    """Round each tap row to its top signed-base-256 digit (r5).
+
+    Rows already fitting one digit (after the power-of-two factor) are
+    EXACT and unchanged; multi-digit rows are rounded to the nearest
+    top-digit multiple, trading bit-exactness for one fewer MXU plane
+    per such row (relative coefficient error ≤ 2⁻⁸·√·· per row —
+    SNR-gated like the chain's bf16 mode, never silently dispatched).
+    """
+    out = np.asarray(h_fixed, np.int64).copy()
+    for kr in range(out.shape[0]):
+        row = out[kr]
+        if not np.any(row):
+            continue
+        reduced, pow2 = factor_pow2(row)
+        d = signed_base256_digits(reduced).shape[0]
+        if d <= 1:
+            continue
+        q = 256 ** (d - 1)
+        top = np.clip(np.round(reduced / q), -128, 127).astype(np.int64)
+        out[kr] = (top * q) << pow2
+    return out
+
+
+def _quantize_2d(h, qformat: QFormat, digit_mode: str = "exact"):
     h_fixed = qformat.quantize_coeffs(np.asarray(h)).astype(np.int64)
     if h_fixed.ndim != 2:
         raise ValueError(f"2-D FIR expects a 2-D kernel, got {h_fixed.shape}")
+    if digit_mode == "top":
+        h_fixed = _top_digit_round(h_fixed)
+    elif digit_mode != "exact":
+        raise ValueError(f"unknown digit_mode {digit_mode!r}")
     planes = build_tile_band_planes_2d(h_fixed)
     worst = 255 * int(np.abs(h_fixed).sum()) + (1 << (qformat.frac_bits - 1))
     needs_wrap = worst >= (1 << (qformat.acc_bits - 1))
@@ -566,6 +594,9 @@ def _fir2d_oframe_kernel(
     w_tiles = wp // LANE
 
     def _rebias(u8):
+        if ablate == "no_rebias":  # measurement-only: WRONG values —
+            # isolates the xor pass cost (bitcast alone is free)
+            return pltpu.bitcast(u8, jnp.int8)
         return pltpu.bitcast(u8 ^ jnp.uint8(0x80), jnp.int8)
 
     x_full = jnp.concatenate(
@@ -614,6 +645,9 @@ def _fir2d_oframe_kernel(
         return acc
 
     def epilogue(acc):
+        if ablate == "raw_store":  # measurement-only: WRONG values —
+            # isolates the shift/clip/cast epilogue cost
+            return acc.astype(jnp.uint8)
         if needs_wrap:
             if acc_bits < 32:
                 shift = 32 - acc_bits
@@ -662,6 +696,47 @@ def _fir2d_oframe_kernel(
             if do_mask:
                 out_u8 = jnp.where(mask, out_u8, 0)
             o_ref[:, c * LANE : (c + 1) * LANE] = out_u8
+            prev, cur = cur, nxt
+        return
+
+    if ablate in ("default", "epi4"):
+        # r5 DEFAULT: batch the epilogue + mask + store over groups of
+        # 4 assembled tiles (4× wider VPU ops).  The r5 fixed-cost
+        # probe measured the per-tile epilogue (shift+clip+cast) at
+        # ~12% of kernel time; batching recovers the per-op overhead
+        # share (sharpen5 156.8 → 161.3, gauss5 171.6 → 174.5 Gsps
+        # medians, interleaved) and is bit-exact (same ops, wider).
+        # ablate="unbatched" keeps the r3/r4 per-tile form.
+        zero_acc = jnp.zeros((block_rows, LANE), jnp.int32)
+        prev = zero_acc
+        cur = tile_acc(1) if w_tiles > 2 else zero_acc
+        buf: list = []
+        c0 = 1
+        for c in range(1, w_tiles - 1):
+            nxt = tile_acc(c + 1) if c + 1 < w_tiles - 1 else zero_acc
+            assembled = cur
+            if left:
+                assembled = jnp.where(
+                    col_idx < left,
+                    pltpu.roll(prev, (-stride) % LANE, 1), assembled)
+            if center:
+                assembled = jnp.where(
+                    col_idx >= LANE - center,
+                    pltpu.roll(nxt, stride % LANE, 1), assembled)
+            base = (c - 1) * stride - left
+            mask = core_row
+            if base < 0:
+                mask = mask & (col_idx >= -base)
+            if base + LANE > core_w:
+                mask = mask & (col_idx < core_w - base)
+            buf.append((assembled, mask))
+            if len(buf) == 4 or c == w_tiles - 2:
+                cat = jnp.concatenate([a for a, _ in buf], axis=1)
+                mcat = jnp.concatenate([m for _, m in buf], axis=1)
+                u8 = jnp.where(mcat, epilogue(cat), 0)
+                o_ref[:, c0 * LANE : (c0 + len(buf)) * LANE] = u8
+                c0 += len(buf)
+                buf = []
             prev, cur = cur, nxt
         return
 
@@ -795,6 +870,7 @@ def fir2d_fixed_frame_overlap(
     scratch=None,
     interpret: bool | None = None,
     ablate: str = "default",
+    digit_mode: str = "exact",
 ) -> jax.Array:
     """Shape-preserving fixed 2-D FIR over an OVERLAPPED frame.
 
@@ -805,7 +881,8 @@ def fir2d_fixed_frame_overlap(
     MXU dot per digit plane (see the overlapped-frame section of the
     module docstring).
     """
-    h_fixed, planes, needs_wrap, bias = _quantize_2d(h, qformat)
+    h_fixed, planes, needs_wrap, bias = _quantize_2d(h, qformat,
+                                                     digit_mode)
     _, a_cur, _, plan, left, center = planes
     if not qformat.tpu_native:
         raise ValueError(
@@ -854,6 +931,257 @@ def fir2d_fixed_frame_overlap(
         scratch is not None,
         (jax.default_backend() != "tpu") if interpret is None else interpret,
         ablate,
+    )
+
+
+def bf16_2d_exact(h_fixed: np.ndarray, qformat: QFormat) -> bool:
+    """Whether the bf16 2-D path is PROVABLY bit-exact for this filter.
+
+    Three sufficient conditions make every float op in
+    :func:`fir2d_frame_overlap_bf16` exact integer arithmetic:
+
+    1. every quantized coefficient is exactly bf16-representable
+       (value's mantissa fits 8 bits — true for sharpen5 and gauss5);
+    2. the worst-case accumulator ``255·Σ|h_fixed|`` stays below 2²⁴
+       (f32 integer-exact range), so products and every partial sum
+       are exact;
+    3. no accumulator wraparound is required
+       (``worst < 2^(acc_bits-1)``), since the float path cannot
+       emulate two's-complement wrap.
+
+    The epilogue ``floor(acc·2^-frac + 0.5)`` is then exactly the
+    golden bias-add-arithmetic-shift (scaling by a power of two is
+    mantissa-preserving).  Asserted bit-exact vs golden in tests.
+    """
+    import ml_dtypes
+
+    h_fixed = np.asarray(h_fixed, np.int64)
+    as_bf16 = h_fixed.astype(np.float32).astype(
+        ml_dtypes.bfloat16).astype(np.float64)
+    if not np.array_equal(as_bf16, h_fixed.astype(np.float64)):
+        return False
+    worst = 255 * int(np.abs(h_fixed).sum()) + (1 << (qformat.frac_bits - 1))
+    return worst < (1 << 24) and worst < (1 << (qformat.acc_bits - 1))
+
+
+def build_bf16_band_planes_2d(h_fixed: np.ndarray):
+    """Per-tap-row bf16 band planes for the float 2-D path (r5).
+
+    One (128, 128) plane per NONZERO tap row — digit decomposition
+    disappears entirely (the quantized integer coefficients ride as
+    bf16 values, rounded to 8-bit mantissa ⇒ SNR-gated, not
+    bit-exact).  Returns ``(a_cur, plan2)`` with ``plan2`` tuples of
+    ``(row_shift, plane)``.
+    """
+    import ml_dtypes
+
+    h_fixed = np.asarray(h_fixed, np.int64)
+    taps_r, taps_c = h_fixed.shape
+    center = taps_c // 2
+    i_idx = np.arange(LANE)[None, :]
+    j_idx = np.arange(LANE)[:, None]
+    k = i_idx + center - j_idx
+    valid = (k >= 0) & (k < taps_c)
+    planes, plan2 = [], []
+    for kr in range(taps_r):
+        row = h_fixed[kr]
+        if not np.any(row):
+            continue
+        a = np.zeros((LANE, LANE), np.float32)
+        a[valid] = row.astype(np.float32)[k[valid]]
+        plan2.append((taps_r - 1 - kr, len(planes)))
+        planes.append(a.astype(ml_dtypes.bfloat16))
+    if not planes:
+        planes.append(np.zeros((LANE, LANE), ml_dtypes.bfloat16))
+    return np.stack(planes), tuple(plan2)
+
+
+def _fir2d_oframe_bf16_kernel(
+    a_ref,       # (R, 128, 128) bf16 band planes (quantized row values)
+    head_ref,    # (T0, Wp) uint8
+    body_ref,    # (BR, Wp) uint8
+    tail_ref,    # (T0, Wp) uint8
+    *rest,       # [scratch_ref] if aliased, then o_ref
+    plan2: tuple[tuple[int, int], ...],
+    left: int,
+    center: int,
+    stride: int,
+    t0: int,
+    core_h: int,
+    core_w: int,
+    frac_bits: int,
+):
+    """SNR-gated bf16 overlapped-frame 2-D FIR: one bf16 dot per tap
+    ROW (f32 accumulate), float epilogue — no rebias pass, no per-plane
+    exponent shifts, no wraparound logic.  Border/patch structure
+    matches the int8 kernel's ``acc_patch`` form (measured neutral)."""
+    o_ref = rest[-1]
+    r = pl.program_id(0)
+    block_rows, wp = body_ref.shape
+    w_tiles = wp // LANE
+
+    def widen(u8):
+        return u8.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    x_full = jnp.concatenate(
+        [widen(head_ref[:]), widen(body_ref[:]), widen(tail_ref[:])],
+        axis=0,
+    )
+    row_global = r * block_rows + jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, LANE), 0)
+    core_row = (row_global >= t0) & (row_global < t0 + core_h)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (block_rows, LANE), 1)
+
+    zero_tile = jnp.zeros((block_rows, LANE), jnp.uint8)
+    o_ref[:, :LANE] = zero_tile
+    o_ref[:, (w_tiles - 1) * LANE:] = zero_tile
+
+    shifted = {}
+    for row_shift, _ in plan2:
+        if row_shift not in shifted:
+            shifted[row_shift] = x_full[row_shift : row_shift + block_rows]
+
+    scale = jnp.float32(2.0 ** (-frac_bits))
+
+    def tile_acc(c):
+        lo = c * LANE
+        acc = None
+        for row_shift, plane in plan2:
+            prod = jnp.dot(shifted[row_shift][:, lo : lo + LANE],
+                           a_ref[plane], preferred_element_type=jnp.float32)
+            acc = prod if acc is None else acc + prod
+        return acc
+
+    def epilogue(acc):
+        y = jnp.floor(acc * scale + jnp.float32(0.5))
+        return jnp.clip(y, 0, 255).astype(jnp.int32).astype(jnp.uint8)
+
+    zero_acc = jnp.zeros((block_rows, LANE), jnp.float32)
+    prev = zero_acc
+    cur = tile_acc(1) if w_tiles > 2 else zero_acc
+    for c in range(1, w_tiles - 1):
+        nxt = tile_acc(c + 1) if c + 1 < w_tiles - 1 else zero_acc
+        assembled = cur
+        if left:
+            assembled = jnp.where(
+                col_idx < left,
+                pltpu.roll(prev, (-stride) % LANE, 1), assembled)
+        if center:
+            assembled = jnp.where(
+                col_idx >= LANE - center,
+                pltpu.roll(nxt, stride % LANE, 1), assembled)
+        out_u8 = epilogue(assembled)
+        base = (c - 1) * stride - left
+        mask = core_row
+        if base < 0:
+            mask = mask & (col_idx >= -base)
+        if base + LANE > core_w:
+            mask = mask & (col_idx < core_w - base)
+        out_u8 = jnp.where(mask, out_u8, 0)
+        o_ref[:, c * LANE : (c + 1) * LANE] = out_u8
+        prev, cur = cur, nxt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan2", "left", "center", "stride", "t0",
+                     "core_h", "core_w", "frac_bits", "block_rows",
+                     "aliased", "interpret"),
+)
+def _fir2d_oframe_bf16(
+    x_ext, a_cur, scratch,
+    plan2: tuple, left: int, center: int, stride: int, t0: int,
+    core_h: int, core_w: int, frac_bits: int, block_rows: int,
+    aliased: bool, interpret: bool,
+):
+    hp, wp = x_ext.shape
+    bpt = block_rows // t0
+    grid = (hp // block_rows,)
+    row_spec = pl.BlockSpec((block_rows, wp), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    halo = lambda idx_fn: pl.BlockSpec(  # noqa: E731
+        (t0, wp), idx_fn, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(a_cur.shape, lambda r: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        halo(lambda r: (jnp.maximum(r * bpt - 1, 0), 0)),
+        row_spec,
+        halo(lambda r: (jnp.minimum((r + 1) * bpt, hp // t0 - 1), 0)),
+    ]
+    args = [a_cur, x_ext, x_ext, x_ext]
+    kwargs = {}
+    if aliased:
+        in_specs.append(row_spec)
+        args.append(scratch)
+        kwargs["input_output_aliases"] = {4: 0}
+    kernel = functools.partial(
+        _fir2d_oframe_bf16_kernel,
+        plan2=plan2, left=left, center=center, stride=stride, t0=t0,
+        core_h=core_h, core_w=core_w, frac_bits=frac_bits,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        **kwargs,
+    )(*args)
+
+
+def fir2d_frame_overlap_bf16(
+    x_ext,
+    h,
+    qformat: QFormat = QFormat(),
+    *,
+    core: tuple[int, int, int],
+    block_rows: int | None = None,
+    scratch=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """SNR-gated bf16 2-D FIR over an overlapped frame (r5).
+
+    Same frame/streaming contract as :func:`fir2d_fixed_frame_overlap`
+    but one bf16 MXU dot per tap ROW with f32 accumulation and a float
+    epilogue — for coefficient banks (or callers) that tolerate ~8-bit
+    coefficient mantissas.  Never auto-dispatched; callers opt in and
+    gate on SNR vs the bit-exact path (tests do).
+    """
+    h_fixed = qformat.quantize_coeffs(np.asarray(h)).astype(np.int64)
+    if h_fixed.ndim != 2:
+        raise ValueError(f"2-D FIR expects a 2-D kernel, got {h_fixed.shape}")
+    a_cur, plan2 = build_bf16_band_planes_2d(h_fixed)
+    taps_r, taps_c = h_fixed.shape
+    overlap = taps_c - 1
+    if not 0 < overlap <= OFRAME_MAX_OVERLAP:
+        raise ValueError(
+            f"overlapped frame needs 1 < taps_c <= {OFRAME_MAX_OVERLAP + 1}, "
+            f"got {taps_c}.")
+    center = taps_c // 2
+    left = taps_c - 1 - center
+    stride = LANE - overlap
+    t0, core_h, core_w = core
+    e_r = taps_r - 1 - taps_r // 2
+    plan2 = tuple((t0 - e_r + rs, p) for rs, p in plan2)
+    hp, wp = x_ext.shape
+    if block_rows is None:
+        block_rows = oframe_geometry(core_h, core_w, taps_r, taps_c)[3]
+    block_rows = min(_round_up(block_rows, t0), hp)
+    interior = wp // LANE - 2
+    if (hp % block_rows or wp % LANE or block_rows % t0
+            or interior * stride < core_w):
+        raise ValueError(
+            f"Overlapped frame ({hp}, {wp}) incompatible with "
+            f"block_rows={block_rows}, t0={t0}, stride={stride}.")
+    return _fir2d_oframe_bf16(
+        x_ext, jnp.asarray(a_cur), scratch, plan2, left, center, stride,
+        t0, core_h, core_w, qformat.frac_bits, block_rows,
+        scratch is not None,
+        (jax.default_backend() != "tpu") if interpret is None else interpret,
     )
 
 
