@@ -50,7 +50,6 @@ def main() -> int:
     from warmup_fir_filter_tpu.ops.qformat import QFormat
     from warmup_fir_filter_tpu.ops.streaming import (
         Fir1DStream,
-        auto_rows_split,
         stream_scanned,
     )
 
@@ -143,8 +142,7 @@ def main() -> int:
         "total_samples": total,
         "blocks": num_blocks,
         "block_shape": [channels, block],
-        "rows_split": (auto_rows_split(channels, block, int(h.size))
-                       if jax.default_backend() == "tpu" else 1),
+        "rows_split": 1,  # split measured slower; see ops/streaming.py
         "resume_checksums_match": resume_ok,
         "resume_state_match": state_ok,
         "stitch_bit_exact": stitch_ok,

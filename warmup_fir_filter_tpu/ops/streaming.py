@@ -156,17 +156,21 @@ def _stream_step_mxu(x_i32, carry_i32, h, qformat, num_taps):
 def auto_rows_split(channels: int, width: int, num_taps: int) -> int:
     """Largest row split R (R | width) keeping the MXU band kernel fed.
 
-    A streaming block arrives as (C, S) with C ≈ 16 rows — the wide
-    band kernels are *grid-starved* at that row count (every MXU dot
-    streams ≤ C rows against its 128-row fill; measured ~100× below
-    the one-shot headline, ``BENCH_STREAMING_r04.json`` vs
-    ``BENCH_r04.json``).  Splitting each row into R sub-rows with
-    (L−1)-sample intra-block halos (the same halo = carry = resume
-    state mechanism used everywhere else) re-shapes the block to
-    (C·R, S/R) — row-rich, exactly the geometry the one-shot headline
-    runs — at the cost of one framing pass.  R must divide S so
-    sub-rows tile exactly; target ≲4096 total rows and keep sub-rows
-    long enough (≥ max(512, 4·L)) that halo overhead stays ≪ 1%.
+    Geometry helper for ``rows_split="auto"``: splitting each (C, S)
+    block row into R sub-rows with (L−1)-sample intra-block halos (the
+    same halo = carry = resume state mechanism used everywhere else)
+    re-shapes the block to (C·R, S/R) — the row-rich geometry the
+    one-shot headline runs.  R must divide S so sub-rows tile exactly;
+    target ≲4096 total rows and sub-rows ≥ max(512, 4·L).
+
+    NOT the default: the r5 on-chip attribution measured the split
+    SLOWER end-to-end (4.7 vs 11.7 Gsps sustained at 16ch × 4M) — the
+    ``frame_overlap`` windowing pass lowers to the same pathological
+    XLA copy the FFT path had to delete in-kernel, and it outweighs
+    the grid-starvation it cures.  (The r4 "100× gap" this was built
+    for turned out to be per-call retrace overhead in the harness —
+    fixed by the compiled-scan cache below; see docs/roofline.md
+    "streaming scan attribution".)
     """
     min_width = max(512, 4 * num_taps)
     cap = min(width, 4096 // max(channels, 1))
@@ -230,6 +234,11 @@ def default_emit_checksums(y):
     ])
 
 
+#: (block_fn, emit_fn, jitted scan) entries keyed by scan geometry —
+#: see the cache note inside :func:`stream_scanned`.
+_SCAN_CACHE: dict = {}
+
+
 def host_emit_checksums(y) -> np.ndarray:
     """Numpy mirror of :func:`default_emit_checksums` (uint64 values
     of the three uint32 residues) for host-side cross-checks."""
@@ -268,11 +277,14 @@ def stream_scanned(
     multi-billion-sample stream runs at kernel speed.
 
     ``rows_split`` re-shapes each (C, S) block to (C·R, S/R) with
-    intra-block halos before the MXU kernel (``_stream_step_mxu_wide``)
-    so the band kernel is not grid-starved at C rows; ``None`` picks
-    :func:`auto_rows_split` on TPU (identity elsewhere), ``1`` forces
-    the unsplit geometry.  The emitted blocks and the checkpoint state
-    are bit-identical across every ``rows_split``.
+    intra-block halos before the MXU kernel (``_stream_step_mxu_wide``);
+    ``"auto"`` picks :func:`auto_rows_split`.  The default is the
+    UNSPLIT geometry: on v5e the split's ``frame_overlap`` windowing
+    pass lowers to the same pathological XLA copy the FFT path had to
+    delete (measured 4.7 vs 11.7 Gsps sustained at 16ch × 4M,
+    docs/roofline.md "streaming scan attribution") — the knob stays for
+    shapes where a cheap reshape exists.  The emitted blocks and the
+    checkpoint state are bit-identical across every ``rows_split``.
 
     The stream's checkpointable state is updated exactly as if the
     blocks had been fed one by one: resuming a second ``stream_scanned``
@@ -292,30 +304,46 @@ def stream_scanned(
     # contract, see _stream_step_mxu); elsewhere the jnp i32 core.
     use_mxu = jax.default_backend() == "tpu"
     h_raw = stream._h_raw
+    qformat = stream.qformat
     if rows_split is None:
-        if use_mxu:
-            probe = jax.eval_shape(block_fn, jnp.int32(0))
-            rows_split = auto_rows_split(
-                int(probe.shape[0]), int(probe.shape[-1]), num_taps)
-        else:
-            rows_split = 1
+        rows_split = 1
+    elif rows_split == "auto":
+        probe = jax.eval_shape(block_fn, jnp.int32(0))
+        rows_split = auto_rows_split(
+            int(probe.shape[0]), int(probe.shape[-1]), num_taps) \
+            if use_mxu else 1
 
-    @partial(jax.jit, static_argnames=())
-    def _run(carry0, h_i32, b0):
-        def body(carry, b):
-            x = jnp.asarray(block_fn(b), jnp.int32)
-            if use_mxu and rows_split > 1:
-                y, carry = _stream_step_mxu_wide(
-                    x, carry, h_raw, stream.qformat, num_taps, rows_split)
-            elif use_mxu:
-                y, carry = _stream_step_mxu(
-                    x, carry, h_raw, stream.qformat, num_taps)
-            else:
-                y, carry = _stream_step(
-                    x, carry, h_i32, num_taps, frac_bits, acc_bits)
-            return carry, emit_fn(y)
-        return jax.lax.scan(
-            body, carry0, b0 + jnp.arange(num_blocks, dtype=jnp.int32))
+    # Compiled-scan cache (r5): a fresh ``jax.jit`` closure per call
+    # would RETRACE on every invocation (seconds of host time that the
+    # r4/r5 "sustained" numbers silently included); identical
+    # (block_fn, emit_fn, geometry, filter) requests reuse one
+    # compiled executable.  Strong references to block_fn/emit_fn in
+    # the cache entry prevent id-reuse aliasing.
+    key = (id(block_fn), id(emit_fn), num_blocks, rows_split, num_taps,
+           frac_bits, acc_bits, use_mxu, h_raw.tobytes(), qformat)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None and cached[0] is block_fn \
+            and cached[1] is emit_fn:
+        _run = cached[2]
+    else:
+        @partial(jax.jit, static_argnames=())
+        def _run(carry0, h_i32, b0):
+            def body(carry, b):
+                x = jnp.asarray(block_fn(b), jnp.int32)
+                if use_mxu and rows_split > 1:
+                    y, carry = _stream_step_mxu_wide(
+                        x, carry, h_raw, qformat, num_taps, rows_split)
+                elif use_mxu:
+                    y, carry = _stream_step_mxu(
+                        x, carry, h_raw, qformat, num_taps)
+                else:
+                    y, carry = _stream_step(
+                        x, carry, h_i32, num_taps, frac_bits, acc_bits)
+                return carry, emit_fn(y)
+            return jax.lax.scan(
+                body, carry0, b0 + jnp.arange(num_blocks, dtype=jnp.int32))
+
+        _SCAN_CACHE[key] = (block_fn, emit_fn, _run)
 
     carry, emitted = _run(
         jnp.asarray(stream.state.carry),
