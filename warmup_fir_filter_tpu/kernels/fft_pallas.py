@@ -604,37 +604,49 @@ def _osfilt_spectrum_shifted(h64, nfft: int, d: int):
 def _osfilt_stream_kernel(f1c, f1s, t2fch, t2fcl, t2fsh, t2fsl,
                           g1c, g1s, hg2ch, hg2cl, hg2sh, hg2sl,
                           x_ref, hl_ref, hr_ref, o_ref, *,
-                          r_windows, channels, tx, m_shift, out_u8):
+                          r_windows, channels, tx, m_shift, hop_tiles,
+                          out_u8):
     """One program: R overlapping 512-windows over an aligned slab.
 
     Segment rows are ordered (window-major, channel-minor); the DFT /
     folded-dot pipeline is the verified ``_osfilt_kernel_v2`` math with
-    ``block_rows = R·C``; only output chunks 2..3 (the valid half of
-    each window) run the inverse outer DFT.  ``m_shift`` =
-    ceil((off+center)/128) ∈ {1, 2} positions the windows: window r,
-    chunk jc reads global lane-tile ``j·2R + 2r + jc + m_shift − 2``.
+    ``block_rows = R·C``.  ``hop_tiles`` ∈ {2, 3} is the window hop in
+    lane tiles: hop 2 keeps the valid half-window on chunks [2, 4)
+    (2× overlap, works for every supported (L, off)); hop 3 (r5b)
+    keeps chunks [1, 4) valid (1.33× overlap — ~33% less FFT math per
+    sample) and engages when the alignment class allows it
+    (``d ≤ 129 − L``, e.g. the sharded/bench path's off = L−1−center).
+    ``m_shift`` = (off+d+center)/128 ∈ {0, 1, 2} positions the
+    windows: window r, chunk jc reads global lane-tile
+    ``j·hop·R + hop·r + jc + m_shift − c0`` with ``c0 = 4 − hop``.
     """
     n1, n2 = 4, LANE
     r_n = r_windows
+    hop = hop_tiles
+    c0 = n1 - hop
     br = r_n * channels
     j = pl.program_id(0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (channels, n2), 1)
     tiles = {}
-    for g in range(m_shift - 2, 2 * r_n + m_shift):
+    g_lo = m_shift - c0
+    g_hi = hop * (r_n - 1) + (n1 - 1) + m_shift - c0
+    for g in range(g_lo, g_hi + 1):
         if g < 0:
             src = hl_ref[:, (g + 2) * n2:(g + 3) * n2]
-        elif g < 2 * r_n:
+        elif g < hop * r_n:
             src = x_ref[:, g * n2:(g + 1) * n2]
         else:
-            src = hr_ref[:, (g - 2 * r_n) * n2:(g - 2 * r_n + 1) * n2]
+            gg = g - hop * r_n
+            src = hr_ref[:, gg * n2:(gg + 1) * n2]
         if src.dtype != jnp.float32:
             src = src.astype(jnp.int32).astype(jnp.float32)
-        t = j * (2 * r_n) + g
+        t = j * (hop * r_n) + g
         cols = col_iota + t * n2
         tiles[g] = jnp.where((cols >= 0) & (cols < tx), src, 0.0)
     xr_slabs = [
         jnp.concatenate(
-            [tiles[2 * r + jc + m_shift - 2] for r in range(r_n)], axis=0)
+            [tiles[hop * r + jc + m_shift - c0] for r in range(r_n)],
+            axis=0)
         for jc in range(n1)
     ]
     ar, ai = _small_dft_list(f1c, f1s, xr_slabs, None, n1)
@@ -656,8 +668,8 @@ def _osfilt_stream_kernel(f1c, f1s, t2fch, t2fcl, t2fsh, t2fsl,
         fr_parts.append(er_k)
         fi_parts.append(ei_k)
 
-    # Inverse outer DFT — only the valid chunks p ∈ [256, 512).
-    for k in (2, 3):
+    # Inverse outer DFT — only the valid chunks p ∈ [128·c0, 512).
+    for k in range(c0, n1):
         acc = g1c[k, 0] * fr_parts[0] - g1s[k, 0] * fi_parts[0]
         for jj in range(1, n1):
             acc = (acc + g1c[k, jj] * fr_parts[jj]
@@ -666,13 +678,22 @@ def _osfilt_stream_kernel(f1c, f1s, t2fch, t2fcl, t2fsh, t2fsl,
             acc = jnp.clip(jnp.floor(acc + 0.5), 0, 255)
             acc = acc.astype(jnp.int32).astype(jnp.uint8)
         for r in range(r_n):
-            o_ref[:, r * 256 + (k - 2) * n2:
-                  r * 256 + (k - 1) * n2] = acc[r * channels:
-                                                (r + 1) * channels]
+            base = r * hop * n2 + (k - c0) * n2
+            o_ref[:, base:base + n2] = acc[r * channels:
+                                           (r + 1) * channels]
 
 
 def _stream_r_windows(channels: int) -> int:
     return max(1, min(64, _STREAM_TARGET_ROWS // max(channels, 1)))
+
+
+def _stream_hop_tiles(num_taps: int, off: int) -> int:
+    """Window hop (lane tiles) for the stream kernel: 3 when the
+    alignment class allows the 3-chunk valid window (33% less FFT
+    math), else 2 (always valid for supported configs)."""
+    center = num_taps // 2
+    d = (-(off + center)) % LANE
+    return 3 if d <= LANE + 1 - num_taps else 2
 
 
 @functools.partial(
@@ -684,8 +705,11 @@ def _osfilt_stream(x, tables, num_taps, off, out_len, r_windows,
                    interpret, out_u8=False):
     """Pallas call for the stream kernel over raw (C, Tx) input."""
     channels, tx = x.shape
+    hop = _stream_hop_tiles(num_taps, off)
     r_n = r_windows
-    sw = 256 * r_n
+    if hop == 3 and r_n % 2:
+        r_n += 1  # keep the program span a 256-multiple for halo specs
+    sw = hop * LANE * r_n
     grid = (-(-out_len // sw),)
     mats = [tables["f1c"], tables["f1s"],
             tables["t2fch"], tables["t2fcl"],
@@ -694,20 +718,22 @@ def _osfilt_stream(x, tables, num_taps, off, out_len, r_windows,
             tables["hg2ch"], tables["hg2cl"],
             tables["hg2sh"], tables["hg2sl"]]
     center = num_taps // 2
-    m_shift = -(-(off + center) // LANE)  # ceil; ∈ {0, 1, 2}
+    d = (-(off + center)) % LANE
+    m_shift = (off + center + d) // LANE  # ∈ {0, 1, 2}
     kernel = functools.partial(
         _osfilt_stream_kernel, r_windows=r_n, channels=channels, tx=tx,
-        m_shift=m_shift, out_u8=out_u8)
+        m_shift=m_shift, hop_tiles=hop, out_u8=out_u8)
     hblk = -(-tx // 256) - 1  # last 256-wide halo block index
+    spt = sw // 256  # 256-blocks per program span
     main_spec = pl.BlockSpec((channels, sw), lambda j: (0, j),
                              memory_space=pltpu.VMEM)
     hl_spec = pl.BlockSpec(
         (channels, 256),
-        lambda j: (0, jnp.maximum(j * r_n - 1, 0)),
+        lambda j: (0, jnp.maximum(j * spt - 1, 0)),
         memory_space=pltpu.VMEM)
     hr_spec = pl.BlockSpec(
         (channels, 256),
-        lambda j: (0, jnp.minimum(j * r_n + r_n, jnp.maximum(hblk, 0))),
+        lambda j: (0, jnp.minimum(j * spt + spt, jnp.maximum(hblk, 0))),
         memory_space=pltpu.VMEM)
     out_dtype = jnp.uint8 if out_u8 else jnp.float32
     return pl.pallas_call(
