@@ -35,8 +35,9 @@ Design (see /opt/skills/guides/pallas_guide.md):
   program granularity; the r3/r4 2.4-2.6 Gsps full-path plateau was
   the XLA framing/unframing passes (11.6 of 13 ms).  The r5 stream
   kernel (below) deletes them structurally: 12.3 Gsps f32 / 15 Gsps
-  u8 end-to-end on v5e.  (The production bit-exact path remains the
-  direct MXU band kernel at ~20× this rate.)
+  u8 end-to-end on v5e at hop 2, 16.4 Gsps at hop 3 (r5b).  (The
+  production bit-exact path remains the direct MXU band kernel at
+  ~15-20× this rate.)
 
 - **Fused overlap-save filter.**  The forward FFT leaves the spectrum
   in *scrambled* ``[k1, b, k2]`` order.  Rather than paying the
