@@ -174,6 +174,12 @@ class TestTimeShardedFusedChain:
         bad = np.zeros((8, 2 * 12289), np.float32)  # T_local % down != 0
         with pytest.raises(ValueError, match="T_local"):
             chain_forward_time_sharded(bad, bad, ChainConfig(), mesh=mesh)
+        # Aligned but too short for the halo: exchange_halo_1d would
+        # silently clamp and misalign the retained window — must raise.
+        short = np.zeros((8, 2 * 1152), np.float32)
+        with pytest.raises(ValueError, match="halo width"):
+            chain_forward_time_sharded(short, short, ChainConfig(),
+                                       mesh=mesh)
 
 
 class TestChainBf16Mode:

@@ -579,14 +579,31 @@ def _osfilt_kernel(f1c, f1s, tc, ts, f2c, f2s, hc, hs, g1c, g1s, g2c, g2s,
 _STREAM_TARGET_ROWS = 512
 
 
+def _stream_geometry(num_taps: int, off: int):
+    """Single source of truth for the stream kernel's alignment class.
+
+    Returns ``(center, d, m_shift, hop_tiles)``: the spectral shift
+    ``d = (-(off+center)) mod 128`` folded into H, the window-placement
+    offset ``m_shift = (off+center+d)/128``, and the window hop (3 lane
+    tiles when the class admits the 3-chunk valid window — d ≤ 129−L —
+    else 2).  Every consumer (the support gate, the table builder, the
+    pallas wrapper) derives from here; divergent copies would silently
+    desynchronize the folded tables from the window placement.
+    """
+    center = num_taps // 2
+    d = (-(off + center)) % LANE
+    m_shift = (off + center + d) // LANE
+    hop = 3 if d <= LANE + 1 - num_taps else 2
+    return center, d, m_shift, hop
+
+
 def stream_kernel_supported(num_taps: int, off: int = 0,
                             nfft: int = 512) -> bool:
     """Gate for the r5 stream overlap-save kernel (nfft=512 4-step)."""
     if nfft != 512:
         return False
-    center = num_taps // 2
-    d = (-(off + center)) % LANE
-    return (1 <= num_taps <= 257 and off >= 0 and off + center <= 256
+    _, d, _, _ = _stream_geometry(num_taps, off)
+    return (1 <= num_taps <= 257 and off >= 0 and off + num_taps // 2 <= 256
             and d <= nfft // 2 + 1 - num_taps)
 
 
@@ -688,15 +705,6 @@ def _stream_r_windows(channels: int) -> int:
     return max(1, min(64, _STREAM_TARGET_ROWS // max(channels, 1)))
 
 
-def _stream_hop_tiles(num_taps: int, off: int) -> int:
-    """Window hop (lane tiles) for the stream kernel: 3 when the
-    alignment class allows the 3-chunk valid window (33% less FFT
-    math), else 2 (always valid for supported configs)."""
-    center = num_taps // 2
-    d = (-(off + center)) % LANE
-    return 3 if d <= LANE + 1 - num_taps else 2
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("num_taps", "off", "out_len", "r_windows",
@@ -706,7 +714,7 @@ def _osfilt_stream(x, tables, num_taps, off, out_len, r_windows,
                    interpret, out_u8=False):
     """Pallas call for the stream kernel over raw (C, Tx) input."""
     channels, tx = x.shape
-    hop = _stream_hop_tiles(num_taps, off)
+    _, _, m_shift, hop = _stream_geometry(num_taps, off)
     r_n = r_windows
     if hop == 3 and r_n % 2:
         r_n += 1  # keep the program span a 256-multiple for halo specs
@@ -718,9 +726,6 @@ def _osfilt_stream(x, tables, num_taps, off, out_len, r_windows,
             tables["g1c"], tables["g1s"],
             tables["hg2ch"], tables["hg2cl"],
             tables["hg2sh"], tables["hg2sl"]]
-    center = num_taps // 2
-    d = (-(off + center)) % LANE
-    m_shift = (off + center + d) // LANE  # ∈ {0, 1, 2}
     kernel = functools.partial(
         _osfilt_stream_kernel, r_windows=r_n, channels=channels, tx=tx,
         m_shift=m_shift, hop_tiles=hop, out_u8=out_u8)
@@ -754,8 +759,7 @@ def _osfilt_stream(x, tables, num_taps, off, out_len, r_windows,
 
 def _stream_tables(h64, num_taps: int, off: int):
     """Folded + pre-split stream-kernel tables (host-side numpy)."""
-    center = num_taps // 2
-    d = (-(off + center)) % LANE
+    _, d, _, _ = _stream_geometry(num_taps, off)
     hc, hs = _osfilt_spectrum_shifted(h64, 512, d)
     return _osfilt_fold_tables(hc, hs, _dft_tables(512), 4, LANE)
 

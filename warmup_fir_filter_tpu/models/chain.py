@@ -175,6 +175,11 @@ def chain_forward_sharded(
     return jax.jit(_run)(re_s, im_s)
 
 
+#: Compiled time-sharded chain executables (bounded FIFO; see the
+#: cache note inside chain_forward_time_sharded).
+_TIME_SHARDED_CACHE: dict = {}
+
+
 def chain_forward_time_sharded(
     re,
     im,
@@ -229,11 +234,18 @@ def chain_forward_time_sharded(
         raise ValueError(
             f"T_local={t_local} must be divisible by down={down} with "
             f"T_local·up/down a multiple of 128 (tile/phase alignment)")
+    h_in = 128 * down * halo_mult
+    if h_in > t_local:
+        # exchange_halo_1d would silently CLAMP the halo slice
+        # (x[..., -w:] returns the whole block when w > width) and the
+        # retained window below would be misaligned — fail loudly.
+        raise ValueError(
+            f"halo width {h_in} exceeds T_local={t_local}; use more "
+            f"samples per shard or a smaller halo_mult")
     if not chain_fused_supported(channels // max(n_c, 1), up, down,
                                  h_rs.size, h_ch.size):
         raise ValueError("config not supported by the fused chain kernel")
     out_local = t_local * up // down
-    h_in = 128 * down * halo_mult
     h_out = 128 * up * halo_mult
 
     # Reach check: the first/last retained output tile must read only
@@ -256,27 +268,39 @@ def chain_forward_time_sharded(
     re_s = jax.device_put(re, sharding)
     im_s = jax.device_put(im, sharding)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec),
-             out_specs=spec, check_vma=False)
-    def _run(re_l, im_l):
-        re_ext = exchange_halo_1d(re_l, axis_name=time_axis,
-                                  left_width=h_in, right_width=h_in)
-        im_ext = exchange_halo_1d(im_l, axis_name=time_axis,
-                                  left_width=h_in, right_width=h_in)
-        # Global resampled-space valid window in local ext coordinates:
-        # the kernel zero-pads the resampled stream exactly where the
-        # single-device run does (bit-equality at stream edges).
-        s_idx = jax.lax.axis_index(time_axis)
-        lo = h_out - s_idx * out_local
-        hi = h_out + out_local * n_t - s_idx * out_local
-        y_ext = chain_forward_fused(
-            re_ext, im_ext, h_rs, h_ch, up, down, config.demod_k_f,
-            rs_bounds=jnp.stack([lo, hi]))
-        y = lax.slice_in_dim(y_ext, h_out, h_out + out_local, axis=1)
-        # The global first sample has no predecessor → 0; on every
-        # other shard the true predecessor came in with the halo.
-        gpos = (jax.lax.axis_index(time_axis) * out_local
-                + jax.lax.broadcasted_iota(jnp.int32, y.shape, 1))
-        return jnp.where(gpos == 0, jnp.float32(0.0), y)
+    # One compiled executable per (mesh, config, geometry): a fresh
+    # jit per call would RETRACE + recompile the sharded Pallas kernel
+    # every invocation (the same per-call-retrace class of bug the r5
+    # streaming-scan cache fixed; 20-90 s per compile on the tunnel).
+    key = (mesh, config, time_axis, channel_axis, halo_mult, re.shape)
+    run = _TIME_SHARDED_CACHE.get(key)
+    if run is None:
+        @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec),
+                 out_specs=spec, check_vma=False)
+        def _run(re_l, im_l):
+            re_ext = exchange_halo_1d(re_l, axis_name=time_axis,
+                                      left_width=h_in, right_width=h_in)
+            im_ext = exchange_halo_1d(im_l, axis_name=time_axis,
+                                      left_width=h_in, right_width=h_in)
+            # Global resampled-space valid window in local ext
+            # coordinates: the kernel zero-pads the resampled stream
+            # exactly where the single-device run does (bit-equality
+            # at stream edges).
+            s_idx = jax.lax.axis_index(time_axis)
+            lo = h_out - s_idx * out_local
+            hi = h_out + out_local * n_t - s_idx * out_local
+            y_ext = chain_forward_fused(
+                re_ext, im_ext, h_rs, h_ch, up, down, config.demod_k_f,
+                rs_bounds=jnp.stack([lo, hi]))
+            y = lax.slice_in_dim(y_ext, h_out, h_out + out_local, axis=1)
+            # The global first sample has no predecessor → 0; on every
+            # other shard the true predecessor came in with the halo.
+            gpos = (jax.lax.axis_index(time_axis) * out_local
+                    + jax.lax.broadcasted_iota(jnp.int32, y.shape, 1))
+            return jnp.where(gpos == 0, jnp.float32(0.0), y)
 
-    return jax.jit(_run)(re_s, im_s)
+        run = jax.jit(_run)
+        if len(_TIME_SHARDED_CACHE) >= 16:
+            _TIME_SHARDED_CACHE.pop(next(iter(_TIME_SHARDED_CACHE)))
+        _TIME_SHARDED_CACHE[key] = run
+    return run(re_s, im_s)

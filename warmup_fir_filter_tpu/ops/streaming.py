@@ -235,8 +235,12 @@ def default_emit_checksums(y):
 
 
 #: (block_fn, emit_fn, jitted scan) entries keyed by scan geometry —
-#: see the cache note inside :func:`stream_scanned`.
+#: see the cache note inside :func:`stream_scanned`.  Bounded FIFO:
+#: entries pin their closures (and any device buffers they capture)
+#: plus a compiled executable, so unbounded growth would leak memory
+#: under churned block_fns.
 _SCAN_CACHE: dict = {}
+_SCAN_CACHE_MAX = 16
 
 
 def host_emit_checksums(y) -> np.ndarray:
@@ -318,7 +322,11 @@ def stream_scanned(
     # r4/r5 "sustained" numbers silently included); identical
     # (block_fn, emit_fn, geometry, filter) requests reuse one
     # compiled executable.  Strong references to block_fn/emit_fn in
-    # the cache entry prevent id-reuse aliasing.
+    # the cache entry prevent id-reuse aliasing.  NOTE: the cache keys
+    # on ``block_fn`` IDENTITY — callers wanting the reuse must pass a
+    # stable function object, not a fresh per-call lambda (a fresh
+    # closure always misses and re-traces; the bounded FIFO below just
+    # keeps such churn from leaking memory).
     key = (id(block_fn), id(emit_fn), num_blocks, rows_split, num_taps,
            frac_bits, acc_bits, use_mxu, h_raw.tobytes(), qformat)
     cached = _SCAN_CACHE.get(key)
@@ -343,6 +351,8 @@ def stream_scanned(
             return jax.lax.scan(
                 body, carry0, b0 + jnp.arange(num_blocks, dtype=jnp.int32))
 
+        if len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
+            _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
         _SCAN_CACHE[key] = (block_fn, emit_fn, _run)
 
     carry, emitted = _run(
