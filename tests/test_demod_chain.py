@@ -224,3 +224,23 @@ class TestChainBf16Mode:
             chain_forward_fused(
                 x, x, cfg.resample_filter(), cfg.channelizer_filter(),
                 2, 3, cfg.demod_k_f, precision="fp8")
+
+    def test_config_fused_precision_plumbed(self, rng):
+        """ChainConfig.fused_precision reaches the fused kernel."""
+        import dataclasses
+
+        from warmup_fir_filter_tpu.kernels.chain_fused import (
+            chain_forward_fused,
+        )
+
+        cfg = dataclasses.replace(ChainConfig(),
+                                  channelizer_backend="fused",
+                                  fused_precision="bf16")
+        re = rng.standard_normal((8, 6000)).astype(np.float32)
+        im = rng.standard_normal((8, 6000)).astype(np.float32)
+        via_config = np.asarray(chain_forward(re, im, cfg))
+        direct = np.asarray(chain_forward_fused(
+            re, im, cfg.resample_filter(), cfg.channelizer_filter(),
+            cfg.resample_up, cfg.resample_down, cfg.demod_k_f,
+            precision="bf16", interpret=True))
+        np.testing.assert_array_equal(via_config, direct)

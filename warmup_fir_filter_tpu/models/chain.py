@@ -41,6 +41,11 @@ class ChainConfig:
     #: "pallas" (fused matmul-FFT) / "jnp" (jnp.fft) force a staged
     #: channelizer backend.
     channelizer_backend: str = "auto"
+    #: Numerics of the fused kernel: "bf16x3" (default, ~114 dB),
+    #: "highest" (strict f32), or "bf16" (r5 storage mode: bf16 I/Q +
+    #: scratch, single-pass band dots — ~2× throughput at ~54 dB vs
+    #: the f32 chain on constant-envelope signals; opt-in).
+    fused_precision: str = "bf16x3"
 
     def resample_filter(self) -> np.ndarray:
         cutoff = 0.9 / max(self.resample_up, self.resample_down)
@@ -82,7 +87,8 @@ def chain_forward(re, im, config: ChainConfig = ChainConfig()) -> jax.Array:
                           or jax.default_backend() == "tpu"):
             return chain_forward_fused(
                 re, im, h_rs, h_ch, config.resample_up,
-                config.resample_down, config.demod_k_f)
+                config.resample_down, config.demod_k_f,
+                precision=config.fused_precision)
 
     # One resampler pass over both I/Q planes stacked as extra rows —
     # row-poor (C, T) inputs underuse the VPU sublanes, and one call
@@ -291,6 +297,7 @@ def chain_forward_time_sharded(
             hi = h_out + out_local * n_t - s_idx * out_local
             y_ext = chain_forward_fused(
                 re_ext, im_ext, h_rs, h_ch, up, down, config.demod_k_f,
+                precision=config.fused_precision,
                 rs_bounds=jnp.stack([lo, hi]))
             y = lax.slice_in_dim(y_ext, h_out, h_out + out_local, axis=1)
             # The global first sample has no predecessor → 0; on every
