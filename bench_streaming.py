@@ -60,7 +60,15 @@ def main() -> int:
     qf = QFormat()
 
     def block_fn(b):
-        """Deterministic synthetic u8 block, generated in-graph."""
+        """Deterministic synthetic u8 block, generated in-graph.
+
+        Kept as ~7 u32 VPU ops per sample (≈33 Gsps alone — the
+        artifact's current bound, docs/roofline.md).  A packed
+        4-samples-per-word variant was built and measured SLOWER
+        (24.1 → 5.2 Gsps sustained): the u32→u8 bitcast+reshape
+        lowers to the same pathological XLA relayout class as the
+        framing passes, costing far more than the mixing it saves.
+        """
         base = (b.astype(jnp.uint32) * jnp.uint32(2654435761))
         col = jax.lax.broadcasted_iota(jnp.uint32, (channels, block), 1)
         row = jax.lax.broadcasted_iota(jnp.uint32, (channels, block), 0)
