@@ -188,7 +188,7 @@ def main() -> int:
                     lambda xx: pad_frame_overlap(xx, *h_g.shape),
                     lambda y, **kw: fir2d_fixed_frame_overlap(
                         y, h_g, **kw),
-                    best_of=3)
+                    best_of=5)
                 extras["gauss5_overlap"] = {
                     "best_msps": round(m_g, 1), "runs_msps": runs_g,
                     "bit_exact": True}
