@@ -699,7 +699,7 @@ def _fir2d_oframe_kernel(
             prev, cur = cur, nxt
         return
 
-    if ablate in ("default", "epi4"):
+    if ablate in ("default", "epi4", "epi16", "epi64"):
         # r5 DEFAULT: batch the epilogue + mask + store over groups of
         # 4 assembled tiles (4× wider VPU ops).  The r5 fixed-cost
         # probe measured the per-tile epilogue (shift+clip+cast) at
@@ -707,6 +707,7 @@ def _fir2d_oframe_kernel(
         # share (sharpen5 156.8 → 161.3, gauss5 171.6 → 174.5 Gsps
         # medians, interleaved) and is bit-exact (same ops, wider).
         # ablate="unbatched" keeps the r3/r4 per-tile form.
+        group = {"epi16": 16, "epi64": 64}.get(ablate, 4)
         zero_acc = jnp.zeros((block_rows, LANE), jnp.int32)
         prev = zero_acc
         cur = tile_acc(1) if w_tiles > 2 else zero_acc
@@ -730,7 +731,7 @@ def _fir2d_oframe_kernel(
             if base + LANE > core_w:
                 mask = mask & (col_idx < core_w - base)
             buf.append((assembled, mask))
-            if len(buf) == 4 or c == w_tiles - 2:
+            if len(buf) == group or c == w_tiles - 2:
                 cat = jnp.concatenate([a for a, _ in buf], axis=1)
                 mcat = jnp.concatenate([m for _, m in buf], axis=1)
                 u8 = jnp.where(mcat, epilogue(cat), 0)
