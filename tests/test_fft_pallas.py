@@ -219,3 +219,28 @@ class TestStreamOverlapSave:
         with pytest.raises(ValueError, match="stream kernel"):
             fir_overlap_save_stream(np.zeros((1, 512), np.float32),
                                     np.ones(259))
+
+
+def test_stream_geometry_invariants():
+    """The single-source alignment helper (r5): class invariants that
+    every stream-kernel consumer relies on."""
+    from warmup_fir_filter_tpu.kernels.fft_pallas import (
+        _stream_geometry,
+        stream_kernel_supported,
+    )
+
+    for taps in range(1, 258, 4):
+        center = taps // 2
+        for off in (0, max(0, taps - 1 - center), 64, 128):
+            if not stream_kernel_supported(taps, off):
+                continue
+            c, d, m_shift, hop = _stream_geometry(taps, off)
+            assert c == center
+            assert 0 <= d < 128
+            assert (off + center + d) % 128 == 0
+            assert m_shift in (0, 1, 2)
+            assert hop in (2, 3)
+            if hop == 3:
+                # 3-chunk valid window requires the wrap-free span to
+                # start at or before chunk 1
+                assert taps - 1 + d <= 128

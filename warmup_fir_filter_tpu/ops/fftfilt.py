@@ -44,8 +44,13 @@ def frame_overlap(xp, nfft: int, step: int, num_blocks: int) -> jnp.ndarray:
     pathologically slow on TPU (measured ~60 ms where the roofline says
     ~1 ms for config 4).  Instead the stream is cut into ``step``-sized
     hops with a reshape and each frame is the concatenation of
-    ``ceil(nfft/step)`` consecutive hops — pure reshape/slice/concat,
-    which XLA fuses into bandwidth-bound copies.
+    ``ceil(nfft/step)`` consecutive hops.
+
+    CAVEAT (r5, docs/roofline.md "the framing passes were the
+    bottleneck"): XLA does NOT lower this to bandwidth-bound copies on
+    TPU — the hop-reshape/concat pattern measures ~23 GB/s.  Fine for
+    the CPU/jnp paths and one-shot staging; HOT TPU paths must build
+    their windows in-kernel instead (``fft_pallas`` stream kernel).
     """
     channels = xp.shape[0]
     m = -(-nfft // step)  # hops spanned by one frame
