@@ -50,6 +50,7 @@ def main() -> int:
     from warmup_fir_filter_tpu.ops.qformat import QFormat
     from warmup_fir_filter_tpu.ops.streaming import (
         Fir1DStream,
+        pick_window_split,
         stream_scanned,
     )
 
@@ -150,7 +151,13 @@ def main() -> int:
         "total_samples": total,
         "blocks": num_blocks,
         "block_shape": [channels, block],
-        "rows_split": 1,  # split measured slower; see ops/streaming.py
+        # r5c default: the Pallas window-copy pipeline when the
+        # geometry admits it (checksum-equal; ops/streaming.py)
+        "scan_mode": (
+            f"pallas_windowed{pick_window_split(channels, block, int(h.size))}"
+            if jax.default_backend() == "tpu"
+            and pick_window_split(channels, block, int(h.size))
+            else "unsplit"),
         "resume_checksums_match": resume_ok,
         "resume_state_match": state_ok,
         "stitch_bit_exact": stitch_ok,

@@ -198,3 +198,51 @@ class TestStreamScanned:
         # indivisible / tiny widths degrade to identity
         assert auto_rows_split(16, 97, 5) == 1
         assert auto_rows_split(4096, 1024, 5) == 1
+
+    def test_pallas_windowed_scan_checksum_equal(self, rng):
+        """r5c: the Pallas window-copy scan pipeline (in-kernel
+        windowing, window-major FIR, iota-reindexed checksums) must be
+        checksum- and state-equal to the unsplit scan."""
+        import jax
+        import jax.numpy as jnp
+
+        from warmup_fir_filter_tpu.ops.streaming import (
+            pick_window_split,
+            stream_scanned,
+        )
+
+        h = np.asarray(FILTER_BANKS[5]["sharpen"])
+        channels, width, blocks = 4, 16_384, 4
+        assert pick_window_split(channels, width, 5) == (512, 16)
+        data = rng.integers(0, 256, size=(blocks, channels, width),
+                            dtype=np.uint8)
+        dev = jnp.asarray(data)
+
+        def block_fn(b):
+            return jax.lax.dynamic_index_in_dim(dev, b, keepdims=False)
+
+        ref_stream = Fir1DStream(h, channels)
+        ref = np.asarray(stream_scanned(ref_stream, block_fn, blocks,
+                                        rows_split=1))
+        win_stream = Fir1DStream(h, channels)
+        got = np.asarray(stream_scanned(win_stream, block_fn, blocks,
+                                        rows_split="pallas"))
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(win_stream.state.carry,
+                                      ref_stream.state.carry)
+
+    def test_pallas_mode_gates(self, rng):
+        from warmup_fir_filter_tpu.ops.streaming import (
+            pick_window_split,
+            stream_scanned,
+        )
+
+        # no geometry for indivisible widths / too-long taps
+        assert pick_window_split(4, 1000, 5) is None
+        assert pick_window_split(4, 16_384, 131) is None
+        h = np.asarray(FILTER_BANKS[5]["sharpen"])
+        st = Fir1DStream(h, 4)
+        with pytest.raises(ValueError, match="default emit"):
+            stream_scanned(st, lambda b: np.zeros((4, 16_384), np.uint8),
+                           1, rows_split="pallas",
+                           emit_fn=lambda y: y[:, :1])

@@ -257,6 +257,103 @@ def host_emit_checksums(y) -> np.ndarray:
     ], np.uint64)
 
 
+
+
+def pick_window_split(channels: int, width: int,
+                      num_taps: int) -> tuple[int, int] | None:
+    """Geometry (sub, g_windows) for the Pallas windowed scan, or None.
+
+    Picks the lane-aligned sub-row width whose window count makes the
+    band FIR row-rich (64 ≤ C·R ≤ 8192, sub ≥ max(512, 4·L)); the
+    per-program window group is the largest divisor of R ≤ 16.
+    """
+    from warmup_fir_filter_tpu.kernels.window_copy import (
+        window_rows_supported,
+    )
+
+    if width % 128 or num_taps > 129:
+        return None
+    min_sub = max(512, 4 * num_taps)
+    best = None
+    spt_total = width // 128
+    for spt in range(min_sub // 128, spt_total + 1):
+        if spt_total % spt:
+            continue
+        sub = spt * 128
+        r = width // sub
+        rows = channels * r
+        if rows < 64 or rows > 8192:
+            continue
+        if not window_rows_supported(channels, width, sub, num_taps):
+            continue
+        if best is None or rows > best[2]:
+            g = 1
+            for cand in range(min(16, r), 0, -1):
+                if r % cand == 0:
+                    g = cand
+                    break
+            best = (sub, g, rows)
+    return (best[0], best[1]) if best else None
+
+
+def _stream_step_windowed(x_i32, carry_i32, h, qformat, num_taps,
+                          sub, g_windows):
+    """Pallas-windowed MXU streaming step (r5c).
+
+    The window-copy kernel (``kernels/window_copy.py``) builds
+    overlapping (R·C, sub+256) u8 rows IN-KERNEL (no XLA framing
+    pass); the band FIR then runs row-rich.  Outputs stay in the
+    window-major layout — consumed by
+    :func:`_emit_windowed_checksums`, which re-indexes with a fused
+    iota instead of transposing.  Checksum-equal to the unsplit step
+    (asserted in tests and the bench gates).
+    """
+    from warmup_fir_filter_tpu.kernels.dispatch import fir1d_fixed_rows_auto
+    from warmup_fir_filter_tpu.kernels.window_copy import window_rows_pallas
+
+    channels, width = x_i32.shape
+    carry_ext = jnp.zeros((channels, 128), jnp.uint8)
+    if num_taps > 1:
+        carry_ext = carry_ext.at[:, -(num_taps - 1):].set(
+            carry_i32.astype(jnp.uint8))
+        new_carry = jnp.concatenate(
+            [carry_i32, x_i32], axis=1)[:, -(num_taps - 1):]
+    else:
+        new_carry = carry_i32
+    win = window_rows_pallas(
+        x_i32.astype(jnp.uint8), carry_ext, sub, g_windows,
+        interpret=jax.default_backend() != "tpu")
+    y_win = fir1d_fixed_rows_auto(win, h, qformat)
+    return y_win, new_carry
+
+
+def _emit_windowed_checksums(y_win, channels: int, sub: int,
+                             num_taps: int):
+    """:func:`default_emit_checksums` re-indexed for window-major rows.
+
+    Window col ``p`` of window ``r`` is emitted sample
+    ``t = r·sub + p − 128 + center`` (valid for
+    ``p ∈ [128−center, 128−center+sub)``); masking + weighting with a
+    fused iota makes the three sums EQUAL to the (C, S)-layout
+    checksums with no slice or transpose.
+    """
+    center = num_taps // 2
+    hl = 128
+    yu = y_win.astype(jnp.uint32)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, yu.shape, 0) // channels
+    p = jax.lax.broadcasted_iota(jnp.int32, yu.shape, 1)
+    valid = (p >= hl - center) & (p < hl - center + sub)
+    t = r_idx * sub + p - hl + center
+    w = jnp.where(valid, (t + 1).astype(jnp.uint32), jnp.uint32(0))
+    yv = jnp.where(valid, yu, jnp.uint32(0))
+    return jnp.stack([
+        jnp.sum(yv),
+        jnp.sum(yv * w),
+        jnp.sum(yv * (w * jnp.uint32(2654435761))),
+    ])
+
+
+
 def stream_scanned(
     stream: "Fir1DStream",
     block_fn,
@@ -309,13 +406,34 @@ def stream_scanned(
     use_mxu = jax.default_backend() == "tpu"
     h_raw = stream._h_raw
     qformat = stream.qformat
-    if rows_split is None:
-        rows_split = 1
-    elif rows_split == "auto":
-        probe = jax.eval_shape(block_fn, jnp.int32(0))
-        rows_split = auto_rows_split(
-            int(probe.shape[0]), int(probe.shape[-1]), num_taps) \
+    probe = jax.eval_shape(block_fn, jnp.int32(0))
+    p_channels, p_width = int(probe.shape[0]), int(probe.shape[-1])
+    window_geom = None
+    if rows_split == "pallas":
+        # explicit request (tests/interpret included)
+        if emit_fn is not default_emit_checksums:
+            raise ValueError(
+                "rows_split='pallas' supports only the default emit "
+                "(the windowed layout re-indexing is built into it)")
+        window_geom = pick_window_split(p_channels, p_width, num_taps)
+        if window_geom is None:
+            raise ValueError(
+                f"no windowed-scan geometry for shape ({p_channels}, "
+                f"{p_width}) at {num_taps} taps")
+        rows_split = 1  # unused; keep the cache key well-typed
+    elif rows_split in (None, "auto") and use_mxu \
+            and emit_fn is default_emit_checksums:
+        # r5c default: the Pallas window-copy pipeline (in-kernel
+        # windowing, row-rich band FIR, iota-reindexed checksums) —
+        # checksum-equal to the unsplit step and ~2× faster at the
+        # bench geometry.  Only the default emit understands the
+        # window-major layout; custom emits fall back.
+        window_geom = pick_window_split(p_channels, p_width, num_taps)
+    if rows_split == "auto" and window_geom is None:
+        rows_split = auto_rows_split(p_channels, p_width, num_taps) \
             if use_mxu else 1
+    elif rows_split in (None, "auto"):
+        rows_split = 1
 
     # Compiled-scan cache (r5): a fresh ``jax.jit`` closure per call
     # would RETRACE on every invocation (seconds of host time that the
@@ -327,8 +445,9 @@ def stream_scanned(
     # stable function object, not a fresh per-call lambda (a fresh
     # closure always misses and re-traces; the bounded FIFO below just
     # keeps such churn from leaking memory).
-    key = (id(block_fn), id(emit_fn), num_blocks, rows_split, num_taps,
-           frac_bits, acc_bits, use_mxu, h_raw.tobytes(), qformat)
+    key = (id(block_fn), id(emit_fn), num_blocks, rows_split,
+           window_geom, num_taps, frac_bits, acc_bits, use_mxu,
+           h_raw.tobytes(), qformat)
     cached = _SCAN_CACHE.get(key)
     if cached is not None and cached[0] is block_fn \
             and cached[1] is emit_fn:
@@ -338,6 +457,12 @@ def stream_scanned(
         def _run(carry0, h_i32, b0):
             def body(carry, b):
                 x = jnp.asarray(block_fn(b), jnp.int32)
+                if window_geom is not None:
+                    y_win, carry = _stream_step_windowed(
+                        x, carry, h_raw, qformat, num_taps,
+                        *window_geom)
+                    return carry, _emit_windowed_checksums(
+                        y_win, p_channels, window_geom[0], num_taps)
                 if use_mxu and rows_split > 1:
                     y, carry = _stream_step_mxu_wide(
                         x, carry, h_raw, qformat, num_taps, rows_split)
