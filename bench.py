@@ -17,7 +17,7 @@ measured first and the headline JSON line is printed and flushed
 immediately** — everything else (Pallas-VPU / jnp comparison backends,
 the practical-ceiling probe) is best-effort, emitted to *stderr*, and
 gated behind a wall-clock budget (env ``WFT_BENCH_BUDGET_S``, default
-240 s).  A persistent compilation cache (``.jax_cache/``) makes re-runs
+330 s).  A persistent compilation cache (``.jax_cache/``) makes re-runs
 after any hang cheap.
 
 Roofline keys: ``sol_msps``/``sol_fraction`` are against the v5e
@@ -65,7 +65,7 @@ BATCH, WIDTH = 19456, 8192  # ~159.4 Msamples, ≈160 MB in + 160 MB out
 #: 160 MB row reads ~0.80±0.02.  Both legs are recorded: the 160 MB
 #: value answers "headline at the r1-r4 artifact shape", the large one
 #: answers the literal >0.80-of-datasheet BASELINE bar.
-BATCH_LARGE = 77824
+BATCH_LARGE = 81920  # the exact roofline-table row (331.3 Gsps there)
 
 
 def _enable_compilation_cache() -> None:
@@ -112,7 +112,7 @@ def _reference_msps(h) -> float:
 
 def main() -> int:
     start = time.perf_counter()
-    budget_s = float(os.environ.get("WFT_BENCH_BUDGET_S", "240"))
+    budget_s = float(os.environ.get("WFT_BENCH_BUDGET_S", "330"))
     _enable_compilation_cache()
 
     import jax
@@ -237,19 +237,35 @@ def main() -> int:
     # 640 MB in + 640 MB out: the regime where the measured rate
     # crosses the literal 0.80-of-datasheet bar (docs/roofline.md).
     # Best-effort INSIDE the one artifact line; a failure or a blown
-    # half-budget never costs the headline.
-    if headline["backend"] == "mxu" and \
-            time.perf_counter() - start < budget_s * 0.5:
+    # budget never costs the headline.
+    # Gate: leave ~90 s for the large leg's compile + device_put; the
+    # r5 half-budget gate (120 s) silently skipped it on a real run —
+    # the best-of-5 headline alone takes ~130 s cold.  Record the skip
+    # explicitly so a missing large leg is visible in the artifact.
+    if headline["backend"] != "mxu":
+        headline["large_skipped"] = "non-mxu headline backend"
+    elif time.perf_counter() - start >= budget_s * 0.75:
+        headline["large_skipped"] = (
+            f"budget: {round(time.perf_counter() - start, 1)} s elapsed "
+            f"of {budget_s} s before the large leg")
+    else:
         try:
             xl = rng.integers(0, 256, size=(BATCH_LARGE, WIDTH),
                               dtype=np.uint8)
             xl_dev = jax.device_put(jnp.asarray(xl))
             del xl
-            res_l = chained_throughput(
-                lambda a: fir1d_fixed_rows_mxu(a, h), xl_dev,
-                repeats=3, best_of=3)
             n_l = BATCH_LARGE * WIDTH
-            l_msps = n_l / res_l["seconds_per_apply"] / 1e6
+            # Two block-row choices (the roofline's br sweep found the
+            # 640 MB winner above auto); best-of across both, every
+            # draw recorded.
+            slopes_l: list[float] = []
+            for br in (None, 1024):
+                res_l = chained_throughput(
+                    lambda a, br=br: fir1d_fixed_rows_mxu(
+                        a, h, block_rows=br),
+                    xl_dev, repeats=3, best_of=3)
+                slopes_l.extend(s for s in res_l["slopes"] if s > 0)
+            l_msps = n_l / min(slopes_l) / 1e6
             headline.update({
                 "large_workload": (f"same kernel over {BATCH_LARGE}x"
                                    f"{WIDTH} uint8 (~640 MB in)"),
@@ -258,8 +274,7 @@ def main() -> int:
                 "large_wall_fraction": round(
                     l_msps / MEASURED_WALL_MSPS, 3),
                 "large_runs_msps": sorted(
-                    round(n_l / s / 1e6, 1)
-                    for s in res_l["slopes"] if s > 0),
+                    round(n_l / s / 1e6, 1) for s in slopes_l),
             })
             del xl_dev
         except Exception as exc:  # noqa: BLE001
