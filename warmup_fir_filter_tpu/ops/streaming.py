@@ -316,8 +316,18 @@ def _stream_step_windowed(x_i32, carry_i32, h, qformat, num_taps,
     if num_taps > 1:
         carry_ext = carry_ext.at[:, -(num_taps - 1):].set(
             carry_i32.astype(jnp.uint8))
-        new_carry = jnp.concatenate(
-            [carry_i32, x_i32], axis=1)[:, -(num_taps - 1):]
+        # Direct slice, NOT concatenate([carry, x])[:, -k:]: XLA lowers
+        # that concat as a full materialized copy of the block (256 MB
+        # of int32 writes per 4M-sample step — measured 0.39 ms/block,
+        # ~25% of the whole scan body; docs/roofline.md r5d).  The
+        # slice is free.  Only a block SHORTER than the delay line
+        # still needs the old carry's tail.
+        k = num_taps - 1
+        if width >= k:
+            new_carry = x_i32[:, -k:]
+        else:
+            new_carry = jnp.concatenate(
+                [carry_i32, x_i32], axis=1)[:, -k:]
     else:
         new_carry = carry_i32
     win = window_rows_pallas(
@@ -485,6 +495,12 @@ def stream_scanned(
         jnp.asarray(stream._h_fixed),
         jnp.int32(start_block),
     )
+    # ONE batched host transfer for both outputs: a separate
+    # ``np.asarray(carry)`` here plus the caller's download of
+    # ``emitted`` costs two synchronized tunnel round trips (~30 ms
+    # each — 55% of the measured wall at the 4e9-sample bench scale,
+    # docs/roofline.md r5d).
+    carry, emitted = jax.device_get((carry, emitted))
     block_width = None  # derived below from one traced block
     probe = jax.eval_shape(block_fn, jnp.int32(0))
     block_width = int(probe.shape[-1])
